@@ -1,0 +1,123 @@
+"""Single-node, Spark-free oracle — the span-sequence equality target.
+
+Implements the frozen canonical semantics of SURVEY.md §2.10-2.11 over the
+fixture corpus: for each document, walk spans in offset order; text spans
+pass through the boilerplate strip and re-emit as kind='main_text'; media
+spans run the table-recognition kernel (k-NN graph → geometry features →
+G2 GNN forward → argmax decode → cell assembly) and re-emit one
+kind='cell' span per assembled cell. Output offsets are dense 0..n-1.
+
+De-facto reference inference path being re-expressed: load weights →
+forward → argmax (train.py:175-215, SURVEY.md §3.3) + our canonical cell
+assembly (§2.11; absent in the reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import assemble, boilerplate, geometry, gnn, knn
+from ..core.bbox import polygons_to_bboxes
+
+
+def run_kernel(ocr_lines: list, width: int, height: int, weights: dict) -> list:
+    """One image → ordered list of assembled cell texts.
+
+    ``ocr_lines``: list of dicts/rows with line_id, points [(x,y)...], text.
+    Lines are processed in line_id order (NODE_COUNTER semantics).
+    """
+    lines = sorted(ocr_lines, key=lambda d: d["line_id"])
+    if not lines:
+        return []
+
+    def pt(p):
+        # fixture dicts and Arrow-struct dicts both carry x/y keys;
+        # accept plain pairs too
+        return (p["x"], p["y"]) if isinstance(p, dict) else (p[0], p[1])
+
+    polys = [[pt(p) for p in line["points"]] for line in lines]
+    texts = [line["text"] for line in lines]
+    bboxes = polygons_to_bboxes(polys)
+    edges = knn.knn_edges(bboxes)
+    x = geometry.node_features(bboxes, width, height)
+    e = geometry.edge_features(edges, bboxes, width, height)
+    node_lp, edge_lp = gnn.forward(x, edges, e, weights)
+    _, edge_cls = gnn.decode(node_lp, edge_lp)
+    return assemble.assemble_cells(edges, edge_cls, bboxes, texts)
+
+
+def extract_document(spans: list, media_by_ref: dict, weights: dict) -> list:
+    """One doc's input spans → output spans (kind, text, media_ref, offset).
+
+    Canonical: media_ref missing from the media table emits nothing
+    (documented behavior, mirrored by the pipeline's inner join).
+    """
+    out = []
+    for s in sorted(spans, key=lambda s: s["offset"]):
+        if s["kind"] == "text":
+            out.append(
+                {
+                    "kind": "main_text",
+                    "text": boilerplate.strip_boilerplate(s["text"]),
+                    "media_ref": "",
+                }
+            )
+        elif s["kind"] == "media":
+            m = media_by_ref.get(s["media_ref"])
+            if m is None:
+                continue
+            for cell_text in run_kernel(
+                m["ocr_lines"], m["width"], m["height"], weights
+            ):
+                out.append(
+                    {
+                        "kind": "cell",
+                        "text": cell_text,
+                        "media_ref": s["media_ref"],
+                    }
+                )
+    for i, s in enumerate(out):
+        s["offset"] = i
+    return out
+
+
+def extract_corpus(docs: list, media: list, weights: dict) -> dict:
+    """Whole corpus → {doc_id: output spans}, with per-media_ref kernel
+    results memoized (the distributed pipeline dedups identically)."""
+    media_by_ref = {m["media_ref"]: m for m in media}
+    kernel_cache: dict = {}
+
+    def cached_cells(ref):
+        if ref not in kernel_cache:
+            m = media_by_ref.get(ref)
+            kernel_cache[ref] = (
+                None
+                if m is None
+                else run_kernel(m["ocr_lines"], m["width"], m["height"], weights)
+            )
+        return kernel_cache[ref]
+
+    result = {}
+    for d in docs:
+        out = []
+        for s in sorted(d["spans"], key=lambda s: s["offset"]):
+            if s["kind"] == "text":
+                out.append(
+                    {
+                        "kind": "main_text",
+                        "text": boilerplate.strip_boilerplate(s["text"]),
+                        "media_ref": "",
+                    }
+                )
+            else:
+                cells = cached_cells(s["media_ref"])
+                if cells is None:
+                    continue
+                for t in cells:
+                    out.append(
+                        {"kind": "cell", "text": t, "media_ref": s["media_ref"]}
+                    )
+        for i, s in enumerate(out):
+            s["offset"] = i
+        result[d["doc_id"]] = out
+    return result
