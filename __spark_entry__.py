@@ -1,38 +1,92 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline (interleaved
+text+media docs derived from sf0.001 documents.parquet + seeded fixture
+media → boilerplate strip + GNN table-recognition kernel → ordered spans).
+
+``queries()`` exposes every implemented operator; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL where the operator is SQL-expressible. The
+extraction/multimodal queries are non-SQL-expressible (GNN kernel, binary
+image decode) → rows-only checks there; their strong correctness gate is
+the span-sequence parity suite in tests/ (python -m pytest -x -q).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in __import__("sys").path:
+    __import__("sys").path.insert(0, _REPO)
+
+_WEIGHTS = None
+
+
+def _weights():
+    global _WEIGHTS
+    if _WEIGHTS is None:
+        from table_recognition_spark.core import gnn
+
+        path = os.path.join(_REPO, "weights", "g2_seed42.npz")
+        _WEIGHTS = (
+            gnn.load_weights(path) if os.path.exists(path) else gnn.init_weights(42)
+        )
+    return _WEIGHTS
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction pipeline over sf0.001-derived interleaved docs."""
+    from table_recognition_spark.pipeline.flagship import flagship
+
+    return flagship(spark, "/root/testdata/sf0.001", _weights())
+
+
+def _extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_recognition_spark.pipeline.flagship import flagship
+
+    return flagship(spark, sf_dir, _weights())
+
+
+def _media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_recognition_spark.operators.multimodal import image_stats
+    from table_recognition_spark.pipeline.flagship import fixture_media
+
+    return image_stats(fixture_media(spark))
+
+
+def _media_patch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_recognition_spark.operators.multimodal import patch_embeddings
+    from table_recognition_spark.pipeline.flagship import fixture_media
+
+    return patch_embeddings(fixture_media(spark))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from table_recognition_spark.operators import dedup, similarity, textstats
+    from table_recognition_spark.queries import relational
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q.update(relational.QUERIES)
+    q.update(textstats.QUERIES)
+    q.update(dedup.QUERIES)
+    q.update(similarity.QUERIES)
+    # non-SQL-expressible (GNN kernel / binary decode) → rows-only checks
+    q["extract_interleaved"] = _extract_interleaved
+    q["media_image_stats"] = _media_image_stats
+    q["media_patch_embeddings"] = _media_patch_embeddings
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from table_recognition_spark.operators import dedup, similarity, textstats
+    from table_recognition_spark.queries import relational
+
+    o: dict[str, str] = {}
+    o.update(relational.ORACLES)
+    o.update(textstats.ORACLES)
+    o.update(dedup.ORACLES)
+    o.update(similarity.ORACLES)
+    return o

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The headline metric is the flagship extraction pipeline's wall-clock;
+per-query seconds cover the operator suite. Run with --scaling to also
+measure the same extraction job at two parallelism levels (local[8] vs
+local[32]) and report throughput + scaling efficiency (BASELINE.md's
+two-cluster-size criterion, evidenced in-sandbox per BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _build_spark(cpus: int, app: str):
+    from table_recognition_spark.session import get_spark
+
+    return get_spark(
+        app,
+        parallelism=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+BENCH_QUERIES = [
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_local_supplier",
+    "rel_top_customers_per_nation",
+    "rel_brand_revenue_topk",
+    "rel_events_hourly",
+    "rel_events_sessions",
+    "text_doc_stats",
+    "text_token_topk",
+    "text_rolling_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_bruteforce_topk",
+    "sim_lsh_ann_topk",
+    "sim_label_centroid_topk",
+    "media_image_stats",
+    "extract_interleaved",
+]
+
+
+def _time_query(spark, fn, sf_dir) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    n = df.count()
+    _ = n
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as E
+
+    spark = _build_spark(cpus, "bench")
+    qs = E.queries()
+    per_query: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        per_query[name] = round(_time_query(spark, qs[name], sf_dir), 3)
+
+    # headline: flagship extraction docs/sec
+    from table_recognition_spark.pipeline.flagship import interleaved_docs
+
+    n_docs = interleaved_docs(spark, sf_dir).count()
+    extract_sec = per_query.get("extract_interleaved", 0.0)
+    spark.stop()
+
+    result = {
+        "metric": "flagship extraction wall-clock (sf documents, interleaved)",
+        "value": extract_sec,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / extract_sec, 2) if extract_sec else None,
+        "cpus": cpus,
+    }
+
+    if "--scaling" in sys.argv:
+        scaling = {}
+        for n in (8, 32):
+            s = _build_spark(n, f"bench_scale_{n}")
+            t0 = time.time()
+            E._extract_interleaved(s, sf_dir).count()
+            dt = time.time() - t0
+            scaling[str(n)] = {
+                "seconds": round(dt, 3),
+                "docs_per_sec": round(n_docs / dt, 2),
+            }
+            s.stop()
+        eff = (
+            scaling["32"]["docs_per_sec"] / (4 * scaling["8"]["docs_per_sec"])
+        )
+        result["scaling"] = scaling
+        result["scaling_efficiency_8_to_32"] = round(eff, 3)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

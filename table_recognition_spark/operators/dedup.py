@@ -1,0 +1,394 @@
+"""Deduplication operators for a training-data pipeline, each with an
+exact DuckDB oracle:
+
+- exact dedup: hash-groupBy on the normalized-text md5 fingerprint
+- MinHash + LSH: shingle → md5-based minhash signature → banding →
+  bucket join → candidate pairs → exact-Jaccard verify
+- SimHash: 16-bit signature from md5 nibble votes + hamming-ball pairs
+- n-gram (unigram) Jaccard: explode-distinct-token self-join
+- embedding cosine near-dup: integer-quantized vectors so the threshold
+  test is pure integer arithmetic (25·dot² ≥ 4·‖a‖²·‖b‖², dot > 0 —
+  i.e. cosine ≥ 0.4) — bit-identical across engines
+
+Scale notes (100 TB design point): every operator is
+explode → hash-shuffle on a key (fingerprint / band hash / token /
+bucket) → per-key candidate pairing — no cross product ever
+materializes; candidate verification joins back by doc id. Exact
+pairwise stages are written against LSH/band-bucketed candidates, not
+the full n² (the unigram-Jaccard demo bounds pair fan-out by token).
+
+The corpus under test plants duplicates deterministically (the testdata
+documents table has none): every 7th doc is unioned verbatim with a
+``dup_`` id, every 11th with one appended token (a near-dup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import NORM_SQL, load, norm_text, tokens, tokens_sql
+
+N_MINHASH = 8
+N_BANDS = 4  # rows per band = 2
+
+
+def _with_planted_dups(docs):
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extradup")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(exact).unionByName(near)
+
+
+_PLANTED_SQL = """
+    (SELECT doc_id, text FROM documents
+     UNION ALL
+     SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+     UNION ALL
+     SELECT doc_id + 200000 AS doc_id, text || ' extradup' AS text
+     FROM documents WHERE doc_id % 11 = 0)
+"""
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(normalized text) hash-groupBy; emit groups with
+    >1 member, keeping the smallest doc_id as the canonical survivor."""
+    docs = _with_planted_dups(load(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact_sql() -> str:
+    norm = NORM_SQL.format(c="text")
+    return f"""
+    SELECT md5({norm}) AS fp, count(*) AS n_copies,
+           min(doc_id) AS canonical_doc_id, max(doc_id) AS max_doc_id
+    FROM {_PLANTED_SQL} GROUP BY 1 HAVING count(*) > 1
+    """
+
+
+def _shingles(toks, n: int = 3):
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def _shingles_sql(toks: str, n: int = 3) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup detection.
+
+    signature_h = min over 3-token shingles of md5(h || ':' || shingle)
+    for h in 0..7; band b = (sig[2b], sig[2b+1]); candidate pairs share
+    any band bucket; verified by exact shingle-set Jaccard ≥ 1/2
+    (integer cross-multiplied: 2·|∩| ≥ |∪|).
+    """
+    docs = _with_planted_dups(load(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    sh = F.array_distinct(_shingles(toks))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        lambda h: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(h.cast("string"), F.lit(":"), s)))
+        ),
+    )
+    base = docs.select("doc_id", sh.alias("shingles"), sig.alias("sig"))
+
+    bands = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat(
+                        F.element_at(F.col("sig"), b * 2 + 1),
+                        F.lit("|"),
+                        F.element_at(F.col("sig"), b * 2 + 2),
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            F.size(F.array_union("sh_a", "sh_b")).alias("n_union"),
+        )
+        .filter(F.col("n_common") * 2 >= F.col("n_union"))
+    )
+    return verified.select("doc_a", "doc_b", "n_common", "n_union")
+
+
+def dedup_minhash_lsh_sql() -> str:
+    toks = tokens_sql("text")
+    sh = f"list_distinct({_shingles_sql(toks)})"
+    sig_elems = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{h}:' || s)))"
+        for h in range(N_MINHASH)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, sh, [{sig_elems}] AS sig
+      FROM (SELECT doc_id, {sh} AS sh FROM {_PLANTED_SQL})
+    ),
+    bands AS (
+      SELECT doc_id, b AS band, sig[b*2+1] || '|' || sig[b*2+2] AS bucket
+      FROM base, unnest(range(0, {N_BANDS})) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           len(list_intersect(x.sh, y.sh)) AS n_common,
+           len(list_distinct(list_concat(x.sh, y.sh))) AS n_union
+    FROM cand JOIN base x ON cand.doc_a = x.doc_id
+              JOIN base y ON cand.doc_b = y.doc_id
+    WHERE len(list_intersect(x.sh, y.sh)) * 2
+          >= len(list_distinct(list_concat(x.sh, y.sh)))
+    """
+
+
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash per document from md5 nibble votes.
+
+    bit i (1-based hex position) of token t = high bit of md5(t)'s i-th
+    nibble = (hex char >= '8'); per-position vote sum > 0 → bit set;
+    simhash = Σ bit_i · 2^(16-i). Emits (doc_id, simhash, bucket) where
+    bucket = simhash >> 8 (the LSH prefix used for pairing at scale).
+    """
+    docs = _with_planted_dups(load(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    votes = docs.select(
+        "doc_id", F.explode(toks).alias("token")
+    ).select(
+        "doc_id",
+        F.md5(F.col("token")).alias("h"),
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.when(F.substring("h", F.col("i"), 1) >= "8", 1)
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    bits = votes.groupBy("doc_id", "i").agg(F.sum("vote").alias("v"))
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") > 0,
+                    F.pow(F.lit(2.0), (16 - F.col("i")).cast("double")).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+        .select(
+            "doc_id",
+            "simhash",
+            F.shiftright(F.col("simhash"), 8).alias("bucket"),
+        )
+    )
+
+
+def dedup_simhash_sql() -> str:
+    toks = tokens_sql("text")
+    return f"""
+    WITH votes AS (
+      SELECT doc_id, i,
+             CASE WHEN substr(md5(token), i, 1) >= '8' THEN 1 ELSE -1 END AS vote
+      FROM (SELECT doc_id, unnest({toks}) AS token FROM {_PLANTED_SQL}),
+           unnest(range(1, 17)) t(i)
+    ),
+    bits AS (SELECT doc_id, i, sum(vote) AS v FROM votes GROUP BY doc_id, i)
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN cast(pow(2.0, 16 - i) AS bigint)
+                    ELSE 0 END) AS simhash,
+           sum(CASE WHEN v > 0 THEN cast(pow(2.0, 16 - i) AS bigint)
+                    ELSE 0 END) // 256 AS bucket
+    FROM bits GROUP BY doc_id
+    """
+
+
+def dedup_jaccard_unigram(spark, sf_dir):
+    """Unigram-Jaccard near-dup pairs via distinct-token self-join
+    (explode → shuffle on token → pair counts); threshold 4/5 integer
+    cross-multiplied: 5·|∩| ≥ 4·|∪|."""
+    docs = _with_planted_dups(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n", "n_b"
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_common") * 5
+            >= (F.col("n_a") + F.col("n_b") - F.col("n_common")) * 4
+        )
+        .select("doc_a", "doc_b", "n_common", (F.col("n_a") + F.col("n_b") - F.col("n_common")).alias("n_union"))
+    )
+
+
+def dedup_jaccard_unigram_sql() -> str:
+    toks = tokens_sql("text")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({toks})) AS token FROM {_PLANTED_SQL}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common, sa.n + sb.n - n_common AS n_union
+    FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id
+               JOIN sizes sb ON pairs.doc_b = sb.doc_id
+    WHERE n_common * 5 >= (sa.n + sb.n - n_common) * 4
+    """
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: quantize components to int
+    (round(x·1000)), then cosine ≥ 0.4 becomes the pure-integer test
+    dot > 0 AND 25·dot² ≥ 4·‖a‖²·‖b‖². At 100 TB the pair generation
+    is bucketed by a sign-LSH prefix (see similarity.lsh_buckets);
+    here the demo scope (500 vectors) joins within label partitions."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        # cast float→double BEFORE arithmetic so both engines round the
+        # same double (float math could differ at half-way boundaries)
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("long")
+        ).alias("qv"),
+    ).withColumn(
+        "norm2",
+        F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
+    )
+    a = q.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("lbl"),
+        F.col("qv").alias("qa"),
+        F.col("norm2").alias("na"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lbl"),
+        F.col("qv").alias("qb"),
+        F.col("norm2").alias("nb"),
+    )
+    joined = a.join(b, "lbl").filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        joined.withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (F.col("dot") * F.col("dot") * 25 >= F.col("na") * F.col("nb") * 4)
+        )
+        .select("id_a", "id_b", "dot", F.col("lbl").alias("label"))
+    )
+
+
+def dedup_embedding_cosine_sql() -> str:
+    return """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> cast(round(x::DOUBLE*1000) AS bigint)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, qv,
+             list_sum(list_transform(qv, x -> x * x)) AS norm2
+      FROM q
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.qv, b.qv)::bigint AS dot,
+           a.label AS label
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.qv, b.qv)::bigint > 0
+      AND list_dot_product(a.qv, b.qv)::bigint
+          * list_dot_product(a.qv, b.qv)::bigint * 25
+          >= a.norm2 * b.norm2 * 4
+    """
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_jaccard_unigram": dedup_jaccard_unigram,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": dedup_exact_sql(),
+    "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
+    "dedup_simhash": dedup_simhash_sql(),
+    "dedup_jaccard_unigram": dedup_jaccard_unigram_sql(),
+    "dedup_embedding_cosine": dedup_embedding_cosine_sql(),
+}

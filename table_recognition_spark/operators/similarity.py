@@ -1,0 +1,238 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+- brute-force cosine top-k: the correctness baseline. Scoring is the
+  integer-quantized dot product (exact cross-engine); ranking breaks ties
+  by vec_id.
+- sign-LSH bucketed ANN: the scale path. Bucket = sign pattern of the
+  first 8 components (axis-aligned random-projection LSH); candidates are
+  generated only within the query's bucket, turning the n² scan into a
+  bucket-partitioned join. At 100 TB this is the shape that survives:
+  explode by bucket → co-partitioned equi-join → per-bucket top-k.
+
+Both have exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import load
+
+N_QUERIES = 5
+TOP_K = 10
+LSH_BITS = 8
+
+
+def _quantized(emb):
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000, 0).cast("long"),
+        ).alias("qv"),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sim_bruteforce_topk(spark, sf_dir):
+    """Exact top-k neighbours for the first N_QUERIES vectors by
+    quantized dot product (desc), tie-break vec_id asc."""
+    q = _quantized(load(spark, sf_dir, "embeddings"))
+    queries = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _dot("q_qv", "qv").alias("dot_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "dot_q")
+    )
+
+
+def sim_bruteforce_topk_sql() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> cast(round(x::DOUBLE*1000) AS bigint)) AS qv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT qq.vec_id AS query_id, c.vec_id AS vec_id,
+             list_dot_product(qq.qv, c.qv)::bigint AS dot_q
+      FROM q qq JOIN q c ON c.vec_id != qq.vec_id
+      WHERE qq.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, rank, vec_id, dot_q FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_q DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+def _bucket_expr(col):
+    """Sign-LSH bucket: Σ_{j<8} 2^j · (embedding[j] > 0). Pure float
+    comparisons — no arithmetic on floats, so exact cross-engine. The bit
+    count is static, so this unrolls to a codegen-friendly sum."""
+    bits = [
+        F.when(F.element_at(col, j + 1) > 0.0, F.lit(1 << j)).otherwise(0)
+        for j in range(LSH_BITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def sim_lsh_ann_topk(spark, sf_dir):
+    """ANN top-k: candidates restricted to the query's sign-LSH bucket,
+    then exact quantized-dot ranking within the bucket."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _quantized(emb).join(
+        emb.select("vec_id", _bucket_expr(F.col("embedding")).alias("bucket")),
+        "vec_id",
+    )
+    queries = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(
+            q,
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", _dot("q_qv", "qv").alias("dot_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "dot_q")
+    )
+
+
+def sim_lsh_ann_topk_sql() -> str:
+    bucket = (
+        "list_sum(list_transform(range(1, "
+        f"{LSH_BITS + 1}), j -> CASE WHEN embedding[j] > 0.0 "
+        "THEN (1 << (j - 1)) ELSE 0 END))"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> cast(round(x::DOUBLE*1000) AS bigint)) AS qv,
+             {bucket} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT qq.vec_id AS query_id, c.vec_id AS vec_id,
+             list_dot_product(qq.qv, c.qv)::bigint AS dot_q
+      FROM q qq JOIN q c ON c.bucket = qq.bucket AND c.vec_id != qq.vec_id
+      WHERE qq.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, rank, vec_id, dot_q FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_q DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+def sim_label_centroid_topk(spark, sf_dir):
+    """Centroid similarity (IVF building block): per-label integer
+    centroid sums (no division — stays exact), then each of the first
+    N_QUERIES vectors ranks labels by dot(query, centroid_sum)."""
+    q = _quantized(load(spark, sf_dir, "embeddings"))
+    dim = F.size(F.col("qv"))
+    exploded = q.select(
+        "vec_id", "label", F.posexplode("qv").alias("j", "v")
+    )
+    centroids = exploded.groupBy("label", "j").agg(F.sum("v").alias("s"))
+    cent_arr = (
+        centroids.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("j"), F.col("s")))
+                ),
+                lambda st: st["s"],
+            ).alias("cv")
+        )
+    )
+    queries = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    scored = F.broadcast(queries).crossJoin(cent_arr).select(
+        "query_id", "label", _dot("q_qv", "cv").alias("dot_c")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_c"), F.asc("label"))
+    _ = dim
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        "query_id", "rank", "label", "dot_c"
+    )
+
+
+def sim_label_centroid_topk_sql() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> cast(round(x::DOUBLE*1000) AS bigint)) AS qv
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, j, qv[j] AS v
+      FROM q, (SELECT unnest(range(1, len((SELECT qv FROM q LIMIT 1)) + 1)) AS j)
+    ),
+    cent AS (
+      SELECT label, list(s ORDER BY j) AS cv
+      FROM (SELECT label, j, sum(v) AS s FROM ex GROUP BY label, j)
+      GROUP BY label
+    )
+    SELECT query_id, rank, label, dot_c FROM (
+      SELECT qq.vec_id AS query_id, cent.label,
+             list_dot_product(qq.qv, cent.cv)::bigint AS dot_c,
+             row_number() OVER (
+               PARTITION BY qq.vec_id
+               ORDER BY list_dot_product(qq.qv, cent.cv)::bigint DESC,
+                        cent.label ASC) AS rank
+      FROM q qq, cent WHERE qq.vec_id < {N_QUERIES}
+    )
+    """
+
+
+QUERIES = {
+    "sim_bruteforce_topk": sim_bruteforce_topk,
+    "sim_lsh_ann_topk": sim_lsh_ann_topk,
+    "sim_label_centroid_topk": sim_label_centroid_topk,
+}
+
+ORACLES = {
+    "sim_bruteforce_topk": sim_bruteforce_topk_sql(),
+    "sim_lsh_ann_topk": sim_lsh_ann_topk_sql(),
+    "sim_label_centroid_topk": sim_label_centroid_topk_sql(),
+}

@@ -1,0 +1,134 @@
+"""Text analysis for a training-data pipeline over the ``documents`` table:
+language ID (stopword heuristic), quality scoring, token counting,
+document fingerprinting. All JVM-side ``pyspark.sql.functions`` —
+whole-stage codegen, no Python in the hot path. Each query has an exact
+DuckDB oracle (integer-exact or identically-shaped double expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import NORM_SQL, TOKEN_PATTERN, load, norm_text, tokens, tokens_sql
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
+
+
+def doc_stats(spark, sf_dir):
+    """Per-document stats: token counts, punctuation/stopword ratios,
+    a composite quality score, n-gram-heuristic language ID, md5
+    fingerprint of the normalized text."""
+    docs = load(spark, sf_dir, "documents")
+    norm = norm_text(F.col("text"))
+    toks = tokens(F.col("text"))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))
+    )
+    n_chars = F.length(norm)
+    punct = F.length(F.regexp_replace(norm, "[a-z0-9 ]", ""))
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_norm"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        punct.alias("punct_count"),
+        stop_hits.alias("stop_hits"),
+        F.when(stop_hits >= 2, F.lit("en")).otherwise(F.lit("unknown")).alias(
+            "lang_pred"
+        ),
+        F.round(
+            (stop_hits * 1.0 / F.greatest(n_tokens, F.lit(1))) * 0.5
+            + (1.0 - punct * 1.0 / F.greatest(n_chars, F.lit(1))) * 0.5,
+            6,
+        ).alias("quality_score"),
+        F.md5(norm).alias("fingerprint"),
+    )
+
+
+def doc_stats_sql() -> str:
+    norm = NORM_SQL.format(c="text")
+    toks = tokens_sql("text")
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    SELECT doc_id,
+           length({norm}) AS n_chars_norm,
+           len({toks}) AS n_tokens,
+           len(list_distinct({toks})) AS n_distinct_tokens,
+           length(regexp_replace({norm}, '[a-z0-9 ]', '', 'g')) AS punct_count,
+           len(list_filter({toks}, t -> t IN ({stops}))) AS stop_hits,
+           CASE WHEN len(list_filter({toks}, t -> t IN ({stops}))) >= 2
+                THEN 'en' ELSE 'unknown' END AS lang_pred,
+           round((len(list_filter({toks}, t -> t IN ({stops}))) * 1.0
+                  / greatest(len({toks}), 1)) * 0.5
+                 + (1.0 - length(regexp_replace({norm}, '[a-z0-9 ]', '', 'g')) * 1.0
+                    / greatest(length({norm}), 1)) * 0.5, 6) AS quality_score,
+           md5({norm}) AS fingerprint
+    FROM documents
+    """
+
+
+def token_topk(spark, sf_dir, k: int = 20):
+    """Corpus token frequency top-k (count desc, token asc)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(k)
+    )
+
+
+def token_topk_sql(k: int = 20) -> str:
+    return f"""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest({tokens_sql('text')}) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT {k}
+    """
+
+
+def rolling_fingerprint(spark, sf_dir, window: int = 8):
+    """Document fingerprinting via a rolling window: md5 of each
+    ``window``-token shingle, keeping the lexicographic minimum per doc
+    (a winnowing-style signature). Pure built-ins."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(toks, i, window))
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(shingles).alias("min_shingle_fp"),
+        n.alias("n_tokens"),
+    )
+
+
+def rolling_fingerprint_sql(window: int = 8) -> str:
+    toks = tokens_sql("text")
+    return f"""
+    SELECT doc_id,
+           list_min(list_transform(
+               range(1, greatest(len({toks}) - {window - 1}, 1) + 1),
+               i -> md5(array_to_string(list_slice({toks}, i, i + {window - 1}), ' '))
+           )) AS min_shingle_fp,
+           len({toks}) AS n_tokens
+    FROM documents
+    """
+
+
+QUERIES = {
+    "text_doc_stats": doc_stats,
+    "text_token_topk": token_topk,
+    "text_rolling_fingerprint": rolling_fingerprint,
+}
+
+ORACLES = {
+    "text_doc_stats": doc_stats_sql(),
+    "text_token_topk": token_topk_sql(),
+    "text_rolling_fingerprint": rolling_fingerprint_sql(),
+}

@@ -1,0 +1,66 @@
+"""Flagship corpus builder: derive an interleaved text+media docs table
+from the driver's ``documents.parquet`` deterministically (pure DataFrame
+ops — no driver-side loop, no RNG), attach seeded fixture media, and run
+the extraction pipeline. This is what ``__spark_entry__.entry`` executes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..fixtures.generate import corpus_to_spark, make_corpus
+from .extract import extract_flat
+
+N_MEDIA = 24
+
+
+def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id:int, text, ...) → docs(doc_id:string, spans).
+
+    Every doc gets a boilerplate-wrapped text span; every third doc also
+    references a fixture table image chosen by doc_id (deterministic).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text_payload = F.concat(
+        F.lit("<nav>site menu</nav><p>"),
+        F.col("text"),
+        F.lit("</p><footer>(c) corp</footer>"),
+    )
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        text_payload.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    media_span = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(
+            F.lit("img_"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(N_MEDIA)).cast("string"), 5, "0"),
+        ).alias("media_ref"),
+        F.lit(1).cast("int").alias("offset"),
+    )
+    return docs.select(
+        F.concat(F.lit("doc_"), F.lpad(F.col("doc_id").cast("string"), 6, "0")
+                 ).alias("doc_id"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            F.array(text_span, media_span),
+        )
+        .otherwise(F.array(text_span))
+        .alias("spans"),
+    )
+
+
+def fixture_media(spark: SparkSession, n_media: int = N_MEDIA) -> DataFrame:
+    _, media, _ = make_corpus(0, n_media, seed=42)
+    _, media_df = corpus_to_spark(spark, [], media)
+    return media_df
+
+
+def flagship(spark: SparkSession, sf_dir: str, weights: dict) -> DataFrame:
+    """The end-to-end flagship: interleaved docs → extraction → flat spans."""
+    docs_df = interleaved_docs(spark, sf_dir)
+    media_df = fixture_media(spark)
+    return extract_flat(docs_df, media_df, weights)

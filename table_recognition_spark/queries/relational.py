@@ -1,0 +1,316 @@
+"""Relational demonstration queries over the TPC-H-ish testdata — the
+stock-Catalyst skeleton the extraction pipeline also relies on (scan →
+pushdown filter → broadcast/shuffle join → partial agg → window).
+
+Cross-engine exactness: money aggregates go through integer cents
+(``cast(round(x*100) as bigint)``) so no double-summation-order drift can
+break the value-hash compare; dates are emitted as formatted strings;
+every ordering has a total tie-break.
+
+Scale notes: dimension tables (region/nation/customer/supplier/part) are
+broadcast; fact-fact joins shuffle on their keys with AQE skew handling;
+aggregates are partial (map-side) by construction of groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..operators.common import cents, cents_sql, load
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 flavor: pushdown date filter → 2-key groupBy with 8
+    partial aggregates."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2001-09-02"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_c"),
+            F.sum(cents(disc_price)).alias("sum_disc_price_c"),
+            F.sum(cents(charge)).alias("sum_charge_c"),
+            F.sum(cents(F.col("l_discount"))).alias("sum_disc_c"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty",
+            F.round(F.col("sum_qty_c") / 100.0 / F.col("count_order"), 6),
+        )
+        .withColumn(
+            "avg_price",
+            F.round(F.col("sum_base_price_c") / 100.0 / F.col("count_order"), 6),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       sum({cents_sql('l_quantity')}) AS sum_qty_c,
+       sum({cents_sql('l_extendedprice')}) AS sum_base_price_c,
+       sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS sum_disc_price_c,
+       sum({cents_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS sum_charge_c,
+       sum({cents_sql('l_discount')}) AS sum_disc_c,
+       count(*) AS count_order,
+       round(sum({cents_sql('l_quantity')}) / 100.0 / count(*), 6) AS avg_qty,
+       round(sum({cents_sql('l_extendedprice')}) / 100.0 / count(*), 6) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 flavor: broadcast dim filter → two shuffle joins →
+    groupBy → top-10."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_c")
+        )
+        .orderBy(F.desc("revenue_c"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2
+ORDER BY revenue_c DESC, l_orderkey LIMIT 10
+"""
+
+
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 flavor: 6-table join with broadcast dims, local-supplier
+    predicate (c_nationkey = s_nationkey), revenue by nation."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_c")
+        )
+        .orderBy(F.desc("revenue_c"), "n_name")
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name ORDER BY revenue_c DESC, n_name
+"""
+
+
+def top_customers_per_nation(spark, sf_dir, k: int = 3):
+    """Window top-k per group: highest-balance customers per nation."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "n_name",
+            "rank",
+            "c_custkey",
+            "c_name",
+            cents(F.col("c_acctbal")).alias("acctbal_c"),
+        )
+        .orderBy("n_name", "rank")
+    )
+
+
+TOP_CUSTOMERS_SQL = f"""
+SELECT n_name, rank, c_custkey, c_name, {cents_sql('c_acctbal')} AS acctbal_c
+FROM (
+  SELECT n_name, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rank <= 3 ORDER BY n_name, rank
+"""
+
+
+def brand_revenue_topk(spark, sf_dir, k: int = 10):
+    """Broadcast part-dim join → revenue by brand, top-k."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_c"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue_c"), "p_brand")
+        .limit(k)
+    )
+
+
+BRAND_REVENUE_SQL = f"""
+SELECT p_brand, sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS revenue_c,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY revenue_c DESC, p_brand LIMIT 10
+"""
+
+
+def events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation on the events stream table (batch
+    form; the streaming module runs the same plan via readStream)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00"
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents(F.col("value"))).alias("value_c"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type, count(*) AS n,
+       sum({cents_sql('value')}) AS value_c,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+def events_sessions(spark, sf_dir, gap_minutes: int = 30):
+    """Sessionization: lag + cumulative gap counter per user (window
+    functions), then session stats."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_session = (
+        ev.withColumn(
+            "new_session",
+            F.when(
+                gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        with_session.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR cast(epoch(ts) AS bigint)
+                      - cast(epoch(lag(ts) OVER w) AS bigint) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "rel_q1_pricing_summary": q1_pricing_summary,
+    "rel_q3_shipping_priority": q3_shipping_priority,
+    "rel_q5_local_supplier": q5_local_supplier,
+    "rel_top_customers_per_nation": top_customers_per_nation,
+    "rel_brand_revenue_topk": brand_revenue_topk,
+    "rel_events_hourly": events_hourly,
+    "rel_events_sessions": events_sessions,
+}
+
+ORACLES = {
+    "rel_q1_pricing_summary": Q1_SQL,
+    "rel_q3_shipping_priority": Q3_SQL,
+    "rel_q5_local_supplier": Q5_SQL,
+    "rel_top_customers_per_nation": TOP_CUSTOMERS_SQL,
+    "rel_brand_revenue_topk": BRAND_REVENUE_SQL,
+    "rel_events_hourly": EVENTS_HOURLY_SQL,
+    "rel_events_sessions": EVENTS_SESSIONS_SQL,
+}

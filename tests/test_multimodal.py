@@ -1,0 +1,67 @@
+import numpy as np
+import pytest
+
+from table_recognition_spark.fixtures.generate import (
+    corpus_to_spark,
+    png_decode_gray8,
+)
+from table_recognition_spark.operators.multimodal import (
+    decode_audio,
+    decode_image,
+    image_stats,
+    patch_embeddings,
+    resize_nearest,
+    thumbnails,
+)
+
+
+def test_decode_image_stubs():
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0rest")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a...")
+    with pytest.raises(NotImplementedError, match="audio"):
+        decode_audio(b"RIFF")
+
+
+def test_resize_nearest_dims():
+    img = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    out = resize_nearest(img, 4, 6)
+    assert out.shape == (4, 6)
+    assert out[0, 0] == img[0, 0]
+
+
+@pytest.mark.spark
+def test_image_stats_match_local_decode(spark, tiny_corpus):
+    _, media, _ = tiny_corpus
+    _, media_df = corpus_to_spark(spark, [], media)
+    got = {r["media_ref"]: r.asDict() for r in image_stats(media_df).collect()}
+    assert len(got) == len(media)
+    for m in media:
+        img = png_decode_gray8(m["image"])
+        r = got[m["media_ref"]]
+        assert (r["width"], r["height"]) == (m["width"], m["height"])
+        assert r["mean_intensity"] == float(
+            np.round(img.mean(dtype=np.float64), 6)
+        )
+        assert 0 < r["ink_ratio"] < 1
+
+
+@pytest.mark.spark
+def test_thumbnails_decode_and_deterministic(spark, tiny_corpus):
+    _, media, _ = tiny_corpus
+    _, media_df = corpus_to_spark(spark, [], media)
+    a = {r["media_ref"]: bytes(r["thumb"]) for r in thumbnails(media_df).collect()}
+    b = {r["media_ref"]: bytes(r["thumb"]) for r in thumbnails(media_df).collect()}
+    assert a == b
+    th = png_decode_gray8(a[media[0]["media_ref"]])
+    assert th.shape == (32, 32)
+
+
+@pytest.mark.spark
+def test_patch_embeddings_shape(spark, tiny_corpus):
+    _, media, _ = tiny_corpus
+    _, media_df = corpus_to_spark(spark, [], media)
+    rows = patch_embeddings(media_df).collect()
+    assert all(len(r["patch_embedding"]) == 16 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["patch_embedding"])
