@@ -50,6 +50,20 @@ def _extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship(spark, sf_dir, _weights())
 
 
+def _extract_interleaved_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same flagship with the reference's configured-default edge
+    discovery (node-visibility ray casting, J2)."""
+    from table_recognition_spark.pipeline.flagship import fixture_media, interleaved_docs
+    from table_recognition_spark.pipeline.extract import extract_flat
+
+    return extract_flat(
+        interleaved_docs(spark, sf_dir),
+        fixture_media(spark),
+        _weights(),
+        strategy="visibility",
+    )
+
+
 def _media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_recognition_spark.operators.multimodal import image_stats
     from table_recognition_spark.pipeline.flagship import fixture_media
@@ -75,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(similarity.QUERIES)
     # non-SQL-expressible (GNN kernel / binary decode) → rows-only checks
     q["extract_interleaved"] = _extract_interleaved
+    q["extract_interleaved_visibility"] = _extract_interleaved_visibility
     q["media_image_stats"] = _media_image_stats
     q["media_patch_embeddings"] = _media_patch_embeddings
     return q

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "text_rolling_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_jaccard_ngram",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "sim_bruteforce_topk",
@@ -54,6 +55,9 @@ BENCH_QUERIES = [
 
 
 def _time_query(spark, fn, sf_dir) -> float:
+    # drop caches a prior query may have left (dedup ops cache their
+    # signature tables) so timings don't interfere
+    spark.catalog.clearCache()
     t0 = time.time()
     df = fn(spark, sf_dir)
     n = df.count()
@@ -95,22 +99,62 @@ def main() -> None:
         "cpus": cpus,
     }
 
-    if "--scaling" in sys.argv:
+    # two-cluster-size scaling evidence (north rule): same extraction job,
+    # same bench corpus, local[8] vs local[32]; efficiency = T8/(4·T32)
+    # measured as throughput ratio. Skip with --no-scaling.
+    if "--no-scaling" not in sys.argv:
+        from table_recognition_spark.fixtures.bigbench import (
+            generate_bench_corpus,
+        )
+        from table_recognition_spark.pipeline.extract import extract_flat
+
+        bench_docs = int(os.environ.get("BENCH_DOCS", "120000"))
+        bench_media = int(os.environ.get("BENCH_MEDIA", "60000"))
+        corpus_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH",
+            "data",
+            f"corpus_{bench_docs}_{bench_media}_s42",
+        )
+        os.makedirs(corpus_dir, exist_ok=True)
+        gen_spark = _build_spark(cpus, "bench_gen")
+        docs_path, media_path = generate_bench_corpus(
+            gen_spark, corpus_dir, bench_docs, bench_media, seed=42
+        )
+        gen_spark.stop()
+
+        from table_recognition_spark.core import gnn
+
+        wpath = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "weights",
+            "g2_seed42.npz",
+        )
+        weights = (
+            gnn.load_weights(wpath)
+            if os.path.exists(wpath)
+            else gnn.init_weights(42)
+        )
         scaling = {}
         for n in (8, 32):
             s = _build_spark(n, f"bench_scale_{n}")
+            d = s.read.parquet(docs_path)
+            m = s.read.parquet(media_path)
+            # warm up JIT / Python workers / parquet footers outside the
+            # timed region (identical for both cluster sizes)
+            extract_flat(d.limit(64), m, weights).count()
             t0 = time.time()
-            E._extract_interleaved(s, sf_dir).count()
+            extract_flat(d, m, weights).count()
             dt = time.time() - t0
             scaling[str(n)] = {
                 "seconds": round(dt, 3),
-                "docs_per_sec": round(n_docs / dt, 2),
+                "docs_per_sec": round(bench_docs / dt, 2),
             }
             s.stop()
-        eff = (
-            scaling["32"]["docs_per_sec"] / (4 * scaling["8"]["docs_per_sec"])
-        )
+        eff = scaling["32"]["docs_per_sec"] / (4 * scaling["8"]["docs_per_sec"])
         result["scaling"] = scaling
+        result["scaling_bench_docs"] = bench_docs
+        result["scaling_bench_media"] = bench_media
         result["scaling_efficiency_8_to_32"] = round(eff, 3)
 
     print(json.dumps(result))

@@ -21,3 +21,18 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Pin BLAS to one thread BEFORE numpy loads anywhere in this package.
+# Two reasons, both load-bearing:
+# 1. Throughput: the GNN kernel does thousands of tiny GEMMs; a 32-thread
+#    OpenBLAS spends ~27× the wall-clock in thread sync (measured
+#    4.03 s → 0.147 s per 200 images), and 32 Spark python workers ×
+#    32 BLAS threads would thrash the machine.
+# 2. Parity: single- vs multi-threaded GEMM differ in summation order
+#    (≈1e-5 logit drift, measured); pinning both the oracle and every
+#    executor to the same single-thread path keeps the span-equality
+#    contract bit-exact. session.py mirrors this via spark.executorEnv.
+import os as _os
+
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")

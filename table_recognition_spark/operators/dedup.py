@@ -5,7 +5,7 @@ exact DuckDB oracle:
 - MinHash + LSH: shingle → md5-based minhash signature → banding →
   bucket join → candidate pairs → exact-Jaccard verify
 - SimHash: 16-bit signature from md5 nibble votes + hamming-ball pairs
-- n-gram (unigram) Jaccard: explode-distinct-token self-join
+- n-gram Jaccard: explode-distinct-shingle self-join
 - embedding cosine near-dup: integer-quantized vectors so the threshold
   test is pure integer arithmetic (25·dot² ≥ 4·‖a‖²·‖b‖², dot > 0 —
   i.e. cosine ≥ 0.4) — bit-identical across engines
@@ -29,10 +29,16 @@ from pyspark.sql import functions as F
 from .common import NORM_SQL, load, norm_text, tokens, tokens_sql
 
 N_MINHASH = 8
-N_BANDS = 4  # rows per band = 2
+N_BANDS = 2
+ROWS_PER_BAND = 4  # wider bands: false-candidate rate ~ j^4, not j^2
 
 
 def _with_planted_dups(docs):
+    # the testdata documents table is a single parquet file → one input
+    # partition; fan out before the (expensive) per-row expression trees
+    # so all cores participate. On a real multi-file table this is a no-op
+    # cost-wise (AQE coalesces back).
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     exact = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -92,24 +98,50 @@ def _shingles_sql(toks: str, n: int = 3) -> str:
     )
 
 
+
+def _shingle_df(docs, n: int = 3):
+    """(doc_id, shingles) with tokens materialized behind an exchange.
+
+    Both the tokenizer (a regex) and the shingle builder are Catalyst
+    higher-order-function lambdas; if left inline, CollapseProject nests
+    the regex inside the per-shingle lambda and re-runs it once per
+    shingle index. The repartition barrier pins evaluation order:
+    regex once per row → shuffle → slice/concat once per shingle.
+    """
+    P = docs.sparkSession.sparkContext.defaultParallelism
+    tok_df = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).repartition(P)
+    return tok_df.select(
+        "doc_id",
+        F.array_distinct(_shingles(F.col("toks"), n)).alias("shingles"),
+    )
+
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup detection.
 
     signature_h = min over 3-token shingles of md5(h || ':' || shingle)
-    for h in 0..7; band b = (sig[2b], sig[2b+1]); candidate pairs share
+    for h in 0..7; band b = sig[4b..4b+3] joined; candidate pairs share
     any band bucket; verified by exact shingle-set Jaccard ≥ 1/2
-    (integer cross-multiplied: 2·|∩| ≥ |∪|).
+    (integer cross-multiplied: 2·|∩| ≥ |∪|). Bands are 4 rows wide so a
+    random pair (jaccard j) collides with probability ~2·j⁴ — this is what
+    keeps the candidate join sub-quadratic on low-entropy corpora.
     """
     docs = _with_planted_dups(load(spark, sf_dir, "documents"))
-    toks = tokens(F.col("text"))
-    sh = F.array_distinct(_shingles(toks))
+    sh_df = _shingle_df(docs)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
         lambda h: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(h.cast("string"), F.lit(":"), s)))
+            F.transform(
+                F.col("shingles"),
+                lambda t: F.md5(F.concat(h.cast("string"), F.lit(":"), t)),
+            )
         ),
     )
-    base = docs.select("doc_id", sh.alias("shingles"), sig.alias("sig"))
+    base = sh_df.select("doc_id", "shingles", sig.alias("sig"))
+    # base feeds three plan branches (banding + both sides of the verify
+    # join); cache it so the signature tree runs once
+    base = base.cache()
 
     bands = base.select(
         "doc_id",
@@ -118,10 +150,9 @@ def dedup_minhash_lsh(spark, sf_dir):
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.concat(
-                        F.element_at(F.col("sig"), b * 2 + 1),
-                        F.lit("|"),
-                        F.element_at(F.col("sig"), b * 2 + 2),
+                    F.concat_ws(
+                        "|",
+                        F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
                     ).alias("bucket"),
                 ),
             )
@@ -171,7 +202,7 @@ def dedup_minhash_lsh_sql() -> str:
       FROM (SELECT doc_id, {sh} AS sh FROM {_PLANTED_SQL})
     ),
     bands AS (
-      SELECT doc_id, b AS band, sig[b*2+1] || '|' || sig[b*2+2] AS bucket
+      SELECT doc_id, b AS band, array_to_string(list_slice(sig, b*4+1, b*4+4), '|') AS bucket
       FROM base, unnest(range(0, {N_BANDS})) t(b)
     ),
     cand AS (
@@ -250,14 +281,17 @@ def dedup_simhash_sql() -> str:
     """
 
 
-def dedup_jaccard_unigram(spark, sf_dir):
-    """Unigram-Jaccard near-dup pairs via distinct-token self-join
-    (explode → shuffle on token → pair counts); threshold 4/5 integer
-    cross-multiplied: 5·|∩| ≥ 4·|∪|."""
+def dedup_jaccard_ngram(spark, sf_dir):
+    """n-gram (3-token shingle) Jaccard near-dup pairs via
+    distinct-shingle self-join (explode → shuffle on shingle → pair
+    counts); threshold 4/5 integer cross-multiplied: 5·|∩| ≥ 4·|∪|.
+    Shingles (not unigrams) keep the join key selective: on a
+    low-entropy corpus every unigram is near-universal and the self-join
+    would go quadratic, while 3-gram document frequency stays bounded."""
     docs = _with_planted_dups(load(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
-    )
+    tok = _shingle_df(docs).select(
+        "doc_id", F.explode("shingles").alias("token")
+    ).cache()  # feeds sizes + both sides of the pair join
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     pairs = (
         tok.alias("a")
@@ -288,11 +322,11 @@ def dedup_jaccard_unigram(spark, sf_dir):
     )
 
 
-def dedup_jaccard_unigram_sql() -> str:
-    toks = tokens_sql("text")
+def dedup_jaccard_ngram_sql() -> str:
+    sh = _shingles_sql(tokens_sql("text"))
     return f"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_distinct({toks})) AS token FROM {_PLANTED_SQL}
+      SELECT doc_id, unnest(list_distinct({sh})) AS token FROM {_PLANTED_SQL}
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     pairs AS (
@@ -381,7 +415,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
-    "dedup_jaccard_unigram": dedup_jaccard_unigram,
+    "dedup_jaccard_ngram": dedup_jaccard_ngram,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -389,6 +423,6 @@ ORACLES = {
     "dedup_exact": dedup_exact_sql(),
     "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
     "dedup_simhash": dedup_simhash_sql(),
-    "dedup_jaccard_unigram": dedup_jaccard_unigram_sql(),
+    "dedup_jaccard_ngram": dedup_jaccard_ngram_sql(),
     "dedup_embedding_cosine": dedup_embedding_cosine_sql(),
 }

@@ -16,15 +16,28 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core import assemble, boilerplate, geometry, gnn, knn
+from ..core import assemble, boilerplate, geometry, gnn, knn, visibility
 from ..core.bbox import polygons_to_bboxes
 
+EDGE_STRATEGIES = {
+    "knn": lambda b, w, h: knn.knn_edges(b),
+    "visibility": visibility.visibility_edges,
+}
 
-def run_kernel(ocr_lines: list, width: int, height: int, weights: dict) -> list:
+
+def run_kernel(
+    ocr_lines: list,
+    width: int,
+    height: int,
+    weights: dict,
+    strategy: str = "knn",
+) -> list:
     """One image → ordered list of assembled cell texts.
 
     ``ocr_lines``: list of dicts/rows with line_id, points [(x,y)...], text.
     Lines are processed in line_id order (NODE_COUNTER semantics).
+    ``strategy``: edge discovery — 'knn' (J1) or 'visibility' (J2, the
+    reference's configured default), mirroring graph.py:34-37.
     """
     lines = sorted(ocr_lines, key=lambda d: d["line_id"])
     if not lines:
@@ -38,7 +51,7 @@ def run_kernel(ocr_lines: list, width: int, height: int, weights: dict) -> list:
     polys = [[pt(p) for p in line["points"]] for line in lines]
     texts = [line["text"] for line in lines]
     bboxes = polygons_to_bboxes(polys)
-    edges = knn.knn_edges(bboxes)
+    edges = EDGE_STRATEGIES[strategy](bboxes, width, height)
     x = geometry.node_features(bboxes, width, height)
     e = geometry.edge_features(edges, bboxes, width, height)
     node_lp, edge_lp = gnn.forward(x, edges, e, weights)
@@ -46,7 +59,9 @@ def run_kernel(ocr_lines: list, width: int, height: int, weights: dict) -> list:
     return assemble.assemble_cells(edges, edge_cls, bboxes, texts)
 
 
-def extract_document(spans: list, media_by_ref: dict, weights: dict) -> list:
+def extract_document(
+    spans: list, media_by_ref: dict, weights: dict, strategy: str = "knn"
+) -> list:
     """One doc's input spans → output spans (kind, text, media_ref, offset).
 
     Canonical: media_ref missing from the media table emits nothing
@@ -67,7 +82,7 @@ def extract_document(spans: list, media_by_ref: dict, weights: dict) -> list:
             if m is None:
                 continue
             for cell_text in run_kernel(
-                m["ocr_lines"], m["width"], m["height"], weights
+                m["ocr_lines"], m["width"], m["height"], weights, strategy
             ):
                 out.append(
                     {
@@ -81,7 +96,9 @@ def extract_document(spans: list, media_by_ref: dict, weights: dict) -> list:
     return out
 
 
-def extract_corpus(docs: list, media: list, weights: dict) -> dict:
+def extract_corpus(
+    docs: list, media: list, weights: dict, strategy: str = "knn"
+) -> dict:
     """Whole corpus → {doc_id: output spans}, with per-media_ref kernel
     results memoized (the distributed pipeline dedups identically)."""
     media_by_ref = {m["media_ref"]: m for m in media}
@@ -93,7 +110,9 @@ def extract_corpus(docs: list, media: list, weights: dict) -> dict:
             kernel_cache[ref] = (
                 None
                 if m is None
-                else run_kernel(m["ocr_lines"], m["width"], m["height"], weights)
+                else run_kernel(
+                    m["ocr_lines"], m["width"], m["height"], weights, strategy
+                )
             )
         return kernel_cache[ref]
 

@@ -47,7 +47,7 @@ OUT_SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
 _WEIGHTS_CACHE: dict = {}
 
 
-def _kernel_fn(weights_bytes: bytes):
+def _kernel_fn(weights_bytes: bytes, strategy: str = "knn"):
     """Build the mapInPandas kernel. The closure ships the (small) weights
     artifact with the task binary — broadcast once per executor by Spark —
     and memoizes the parsed arrays in a module-level cache."""
@@ -66,7 +66,9 @@ def _kernel_fn(weights_bytes: bytes):
             for ref, lines, width, height in zip(
                 pdf["media_ref"], pdf["ocr_lines"], pdf["width"], pdf["height"]
             ):
-                cells = run_kernel(list(lines), int(width), int(height), w)
+                cells = run_kernel(
+                    list(lines), int(width), int(height), w, strategy
+                )
                 for i, t in enumerate(cells):
                     refs.append(ref)
                     idxs.append(i)
@@ -83,13 +85,14 @@ def recognize_tables(
     media_df: DataFrame,
     weights: dict,
     kernel_partitions: int | None = None,
+    strategy: str = "knn",
 ) -> DataFrame:
     """Distinct media rows → (media_ref, cell_idx, text) via the GNN kernel."""
     cols = media_df.select("media_ref", "ocr_lines", "width", "height")
     if kernel_partitions:
         cols = cols.repartition(kernel_partitions, "media_ref")
     return cols.mapInPandas(
-        _kernel_fn(weights_to_bytes(weights)), schema=CELLS_SCHEMA
+        _kernel_fn(weights_to_bytes(weights), strategy), schema=CELLS_SCHEMA
     )
 
 
@@ -111,6 +114,7 @@ def extract(
     text_engine: str = "jvm",
     kernel_partitions: int | None = None,
     broadcast_cells: bool | None = None,
+    strategy: str = "knn",
 ) -> DataFrame:
     """docs + media → out(doc_id, spans) with re-numbered dense offsets.
 
@@ -147,7 +151,7 @@ def extract(
         media_df.select("media_ref", "ocr_lines", "width", "height"),
         "media_ref",
     )
-    cells = recognize_tables(kernel_input, weights, kernel_partitions)
+    cells = recognize_tables(kernel_input, weights, kernel_partitions, strategy)
     if broadcast_cells:
         cells = F.broadcast(cells)
 
