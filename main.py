@@ -39,9 +39,11 @@ def main() -> None:
     from table_recognition_spark.pipeline.checkpoint import CheckpointedExtract
     from table_recognition_spark.session import get_spark
 
-    wpath = args.weights or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "weights", "g2_seed42.npz"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    default_w = os.path.join(here, "weights", "g2_trained_seed42.npz")
+    if not os.path.exists(default_w):
+        default_w = os.path.join(here, "weights", "g2_seed42.npz")
+    wpath = args.weights or default_w
     weights = gnn.load_weights(wpath)
 
     spark = get_spark("extract", parallelism=args.parallelism)
