@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "rel_brand_revenue_topk",
     "rel_events_hourly",
     "rel_events_sessions",
+    "rel_revenue_rollup",
+    "rel_orderstatus_pivot",
+    "rel_asof_last_event",
     "text_doc_stats",
     "text_token_topk",
     "text_rolling_fingerprint",

@@ -227,57 +227,56 @@ def dedup_simhash(spark, sf_dir):
     nibble = (hex char >= '8'); per-position vote sum > 0 → bit set;
     simhash = Σ bit_i · 2^(16-i). Emits (doc_id, simhash, bucket) where
     bucket = simhash >> 8 (the LSH prefix used for pairing at scale).
+
+    Shape: ONE explode over tokens, then 16 unrolled partial-aggregate
+    vote columns in a single groupBy — no per-bit row blowup, one
+    shuffle total (vs explode×16 → two shuffles).
     """
     docs = _with_planted_dups(load(spark, sf_dir, "documents"))
-    toks = tokens(F.col("text"))
-    votes = docs.select(
-        "doc_id", F.explode(toks).alias("token")
-    ).select(
-        "doc_id",
-        F.md5(F.col("token")).alias("h"),
-        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("i"),
-    ).select(
-        "doc_id",
-        "i",
-        F.when(F.substring("h", F.col("i"), 1) >= "8", 1)
-        .otherwise(-1)
-        .alias("vote"),
-    )
-    bits = votes.groupBy("doc_id", "i").agg(F.sum("vote").alias("v"))
-    return (
-        bits.groupBy("doc_id")
-        .agg(
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).select("doc_id", F.md5("token").alias("h"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(
-                    F.col("v") > 0,
-                    F.pow(F.lit(2.0), (16 - F.col("i")).cast("double")).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-        .select(
-            "doc_id",
-            "simhash",
-            F.shiftright(F.col("simhash"), 8).alias("bucket"),
-        )
+                F.when(F.substring("h", i, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(1, 17)
+        ]
+    )
+    simhash = None
+    for i in range(1, 17):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << (16 - i))).otherwise(0)
+        simhash = term if simhash is None else simhash + term
+    return votes.select(
+        "doc_id",
+        simhash.cast("long").alias("simhash"),
+        (simhash.cast("long") / 256).cast("long").alias("bucket"),
     )
 
 
 def dedup_simhash_sql() -> str:
     toks = tokens_sql("text")
+    vote_cols = ",\n             ".join(
+        f"sum(CASE WHEN substr(h, {i}, 1) >= '8' THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(1, 17)
+    )
+    simhash = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << (16 - i)} ELSE 0 END)"
+        for i in range(1, 17)
+    )
     return f"""
-    WITH votes AS (
-      SELECT doc_id, i,
-             CASE WHEN substr(md5(token), i, 1) >= '8' THEN 1 ELSE -1 END AS vote
-      FROM (SELECT doc_id, unnest({toks}) AS token FROM {_PLANTED_SQL}),
-           unnest(range(1, 17)) t(i)
+    WITH tok AS (
+      SELECT doc_id, md5(unnest({toks})) AS h FROM {_PLANTED_SQL}
     ),
-    bits AS (SELECT doc_id, i, sum(vote) AS v FROM votes GROUP BY doc_id, i)
-    SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN cast(pow(2.0, 16 - i) AS bigint)
-                    ELSE 0 END) AS simhash,
-           sum(CASE WHEN v > 0 THEN cast(pow(2.0, 16 - i) AS bigint)
-                    ELSE 0 END) // 256 AS bucket
-    FROM bits GROUP BY doc_id
+    votes AS (
+      SELECT doc_id,
+             {vote_cols}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, ({simhash})::BIGINT AS simhash,
+           (({simhash}) // 256)::BIGINT AS bucket
+    FROM votes
     """
 
 

@@ -295,6 +295,124 @@ FROM s GROUP BY user_id ORDER BY user_id
 """
 
 
+def revenue_rollup(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus): hierarchical subtotals +
+    grand total — Catalyst expands to grouping sets with partial aggs."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  ).alias("revenue_c"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue_c",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+REVENUE_ROLLUP_SQL = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS revenue_c,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def orderstatus_pivot(spark, sf_dir):
+    """Pivot: order counts and value by priority × status."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDERSTATUS_PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def asof_event_to_order(spark, sf_dir):
+    """As-of join (Spark lacks a native one — composed from the
+    union-then-window pattern): each event is matched to its user's most
+    recent order at-or-before the event timestamp, then counted by the
+    matched order's priority. Events with no prior order fall in the
+    NULL bucket."""
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 50).alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderpriority",
+        F.lit(0).alias("is_event"),
+    )
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(1).alias("is_event"),
+    )
+    unioned = o.unionByName(e)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_event")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        unioned.withColumn(
+            "matched_priority",
+            F.last("o_orderpriority", ignorenulls=True).over(w),
+        )
+        .filter(F.col("is_event") == 1)
+    )
+    return (
+        matched.groupBy("matched_priority")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("matched_priority")
+    )
+
+
+ASOF_SQL = """
+WITH unioned AS (
+  SELECT o_custkey % 50 AS user_id, o_orderdate AS ts,
+         o_orderpriority, 0 AS is_event
+  FROM orders
+  UNION ALL
+  SELECT user_id, ts, CAST(NULL AS VARCHAR), 1 FROM events
+),
+matched AS (
+  SELECT user_id, is_event,
+         last_value(o_orderpriority IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_event
+           ROWS UNBOUNDED PRECEDING) AS matched_priority
+  FROM unioned
+)
+SELECT matched_priority, count(*) AS n_events
+FROM matched WHERE is_event = 1
+GROUP BY matched_priority ORDER BY matched_priority
+"""
+
+
 QUERIES = {
     "rel_q1_pricing_summary": q1_pricing_summary,
     "rel_q3_shipping_priority": q3_shipping_priority,
@@ -303,6 +421,9 @@ QUERIES = {
     "rel_brand_revenue_topk": brand_revenue_topk,
     "rel_events_hourly": events_hourly,
     "rel_events_sessions": events_sessions,
+    "rel_revenue_rollup": revenue_rollup,
+    "rel_orderstatus_pivot": orderstatus_pivot,
+    "rel_asof_last_event": asof_event_to_order,
 }
 
 ORACLES = {
@@ -313,4 +434,7 @@ ORACLES = {
     "rel_brand_revenue_topk": BRAND_REVENUE_SQL,
     "rel_events_hourly": EVENTS_HOURLY_SQL,
     "rel_events_sessions": EVENTS_SESSIONS_SQL,
+    "rel_revenue_rollup": REVENUE_ROLLUP_SQL,
+    "rel_orderstatus_pivot": ORDERSTATUS_PIVOT_SQL,
+    "rel_asof_last_event": ASOF_SQL,
 }

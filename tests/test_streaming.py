@@ -11,10 +11,15 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.mark.spark
 @pytest.mark.slow
-def test_stream_hourly_equals_batch(spark):
+def test_stream_hourly_equals_batch(spark, tmp_path):
     """The streaming tumbling-window agg must agree with the batch plan
     once the bounded file stream drains."""
-    stream = stream_events_hourly(spark, SF)
+    import shutil
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", events_dir / "events.parquet")
+    stream = stream_events_hourly(spark, str(events_dir))
     run_stream_to_memory(stream, "hourly_out")
     got = {
         (r["hour"], r["event_type"]): (r["n"], r["value_c"])
