@@ -73,14 +73,16 @@ def _media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_recognition_spark.operators.multimodal import image_stats
     from table_recognition_spark.pipeline.flagship import fixture_media
 
-    return image_stats(fixture_media(spark))
+    # tiny fixture input: match partitions to data size (32 near-empty
+    # tasks just churn python workers)
+    return image_stats(fixture_media(spark).repartition(2))
 
 
 def _media_patch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_recognition_spark.operators.multimodal import patch_embeddings
     from table_recognition_spark.pipeline.flagship import fixture_media
 
-    return patch_embeddings(fixture_media(spark))
+    return patch_embeddings(fixture_media(spark).repartition(2))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -25,6 +25,28 @@ EDGE_STRATEGIES = {
 }
 
 
+def run_kernel_arrays(
+    bboxes: np.ndarray,
+    texts: list,
+    width: int,
+    height: int,
+    weights: dict,
+    strategy: str = "knn",
+) -> list:
+    """Array-form kernel: bboxes (n,4) int, texts list[str], rows already
+    in line_id order. This is THE kernel — the dict-based ``run_kernel``
+    and the Arrow-batched Spark path both funnel here, so parity is by
+    construction."""
+    if len(bboxes) == 0:
+        return []
+    edges = EDGE_STRATEGIES[strategy](bboxes, width, height)
+    x = geometry.node_features(bboxes, width, height)
+    e = geometry.edge_features(edges, bboxes, width, height)
+    node_lp, edge_lp = gnn.forward(x, edges, e, weights)
+    _, edge_cls = gnn.decode(node_lp, edge_lp)
+    return assemble.assemble_cells(edges, edge_cls, bboxes, texts)
+
+
 def run_kernel(
     ocr_lines: list,
     width: int,
@@ -51,12 +73,7 @@ def run_kernel(
     polys = [[pt(p) for p in line["points"]] for line in lines]
     texts = [line["text"] for line in lines]
     bboxes = polygons_to_bboxes(polys)
-    edges = EDGE_STRATEGIES[strategy](bboxes, width, height)
-    x = geometry.node_features(bboxes, width, height)
-    e = geometry.edge_features(edges, bboxes, width, height)
-    node_lp, edge_lp = gnn.forward(x, edges, e, weights)
-    _, edge_cls = gnn.decode(node_lp, edge_lp)
-    return assemble.assemble_cells(edges, edge_cls, bboxes, texts)
+    return run_kernel_arrays(bboxes, texts, width, height, weights, strategy)
 
 
 def extract_document(

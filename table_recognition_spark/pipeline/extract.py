@@ -27,7 +27,9 @@ Scale properties, deliberately:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..core import boilerplate
@@ -48,12 +50,22 @@ _WEIGHTS_CACHE: dict = {}
 
 
 def _kernel_fn(weights_bytes: bytes, strategy: str = "knn"):
-    """Build the mapInPandas kernel. The closure ships the (small) weights
-    artifact with the task binary — broadcast once per executor by Spark —
-    and memoizes the parsed arrays in a module-level cache."""
+    """Build the Arrow-batched kernel (``mapInArrow``).
+
+    The nested ``ocr_lines`` column is consumed straight from the Arrow
+    buffers — per-line bboxes come from ``np.minimum/maximum.reduceat``
+    over the flat point arrays, never materializing per-point Python
+    dicts. (The earlier mapInPandas version did; at 32 concurrent workers
+    the dict materialization contended so badly it ran 3.7× SLOWER than
+    at 8 workers — measured 6.7 s → 24.7 s for the same input.)
+
+    The closure ships the (small) weights artifact with the task binary —
+    broadcast once per executor by Spark — and memoizes the parsed arrays
+    in a module-level cache.
+    """
 
     def fn(batches):
-        from ..oracle.extract import run_kernel
+        from ..oracle.extract import run_kernel_arrays
 
         key = hash(weights_bytes)
         w = _WEIGHTS_CACHE.get(key)
@@ -61,21 +73,63 @@ def _kernel_fn(weights_bytes: bytes, strategy: str = "knn"):
             w = weights_from_bytes(weights_bytes)
             _WEIGHTS_CACHE[key] = w
 
-        for pdf in batches:
-            refs, idxs, texts = [], [], []
-            for ref, lines, width, height in zip(
-                pdf["media_ref"], pdf["ocr_lines"], pdf["width"], pdf["height"]
-            ):
-                cells = run_kernel(
-                    list(lines), int(width), int(height), w, strategy
+        for rb in batches:
+            refs = rb.column(rb.schema.get_field_index("media_ref")).to_pylist()
+            widths = rb.column(rb.schema.get_field_index("width")).to_numpy(
+                zero_copy_only=False
+            )
+            heights = rb.column(rb.schema.get_field_index("height")).to_numpy(
+                zero_copy_only=False
+            )
+            ocr = rb.column(rb.schema.get_field_index("ocr_lines"))
+            if isinstance(ocr, pa.ChunkedArray):  # pragma: no cover
+                ocr = ocr.combine_chunks()
+            row_off = ocr.offsets.to_numpy(zero_copy_only=False)
+            lines = ocr.values
+            line_ids = lines.field("line_id").to_numpy(zero_copy_only=False)
+            texts_all = lines.field("text").to_pylist()
+            pts_list = lines.field("points")
+            pts_off = pts_list.offsets.to_numpy(zero_copy_only=False)
+            pts = pts_list.values
+            xs = pts.field("x").to_numpy(zero_copy_only=False)
+            ys = pts.field("y").to_numpy(zero_copy_only=False)
+
+            # per-line bboxes across the whole batch in four reduceats;
+            # guard: every line has ≥1 point (fixture invariant)
+            n_lines = len(line_ids)
+            if n_lines:
+                starts = pts_off[:-1]
+                bx0 = np.minimum.reduceat(xs, starts)
+                by0 = np.minimum.reduceat(ys, starts)
+                bx1 = np.maximum.reduceat(xs, starts)
+                by1 = np.maximum.reduceat(ys, starts)
+                bboxes_all = np.stack([bx0, by0, bx1, by1], axis=1).astype(
+                    np.int64
                 )
-                for i, t in enumerate(cells):
-                    refs.append(ref)
-                    idxs.append(i)
-                    texts.append(t)
-            yield pd.DataFrame(
-                {"media_ref": refs, "cell_idx": pd.array(idxs, dtype="int32"),
-                 "text": texts}
+            else:
+                bboxes_all = np.empty((0, 4), dtype=np.int64)
+
+            out_refs, out_idxs, out_texts = [], [], []
+            for r in range(len(refs)):
+                lo, hi = int(row_off[r]), int(row_off[r + 1])
+                if hi <= lo:
+                    continue
+                order = np.argsort(line_ids[lo:hi], kind="stable") + lo
+                b = bboxes_all[order]
+                t = [texts_all[j] for j in order]
+                cells = run_kernel_arrays(
+                    b, t, int(widths[r]), int(heights[r]), w, strategy
+                )
+                for i, cell_text in enumerate(cells):
+                    out_refs.append(refs[r])
+                    out_idxs.append(i)
+                    out_texts.append(cell_text)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "media_ref": pa.array(out_refs, pa.string()),
+                    "cell_idx": pa.array(out_idxs, pa.int32()),
+                    "text": pa.array(out_texts, pa.string()),
+                }
             )
 
     return fn
@@ -89,9 +143,16 @@ def recognize_tables(
 ) -> DataFrame:
     """Distinct media rows → (media_ref, cell_idx, text) via the GNN kernel."""
     cols = media_df.select("media_ref", "ocr_lines", "width", "height")
+    if kernel_partitions is None:
+        # 4× cores: per-image kernel cost varies ~3× with image size, so
+        # exactly-#cores partitions leave a straggler tail (measured 93%
+        # CPU at 32 cores); finer tasks let the scheduler level it
+        kernel_partitions = (
+            media_df.sparkSession.sparkContext.defaultParallelism * 4
+        )
     if kernel_partitions:
         cols = cols.repartition(kernel_partitions, "media_ref")
-    return cols.mapInPandas(
+    return cols.mapInArrow(
         _kernel_fn(weights_to_bytes(weights), strategy), schema=CELLS_SCHEMA
     )
 
@@ -107,7 +168,7 @@ def _strip_text(df: DataFrame, engine: str) -> DataFrame:
     return df.withColumn("text", boilerplate.spark_strip_expr(F.col("text")))
 
 
-def extract(
+def _all_spans(
     docs_df: DataFrame,
     media_df: DataFrame,
     weights: dict,
@@ -116,13 +177,8 @@ def extract(
     broadcast_cells: bool | None = None,
     strategy: str = "knn",
 ) -> DataFrame:
-    """docs + media → out(doc_id, spans) with re-numbered dense offsets.
-
-    Canonical semantics == ``oracle.extract_corpus``: text spans →
-    kind='main_text' (boilerplate-stripped), media spans → one kind='cell'
-    span per assembled table cell; media_refs absent from ``media_df`` emit
-    nothing (inner join).
-    """
+    """Shared pipeline core → un-numbered output spans
+    (doc_id, orig_offset, sub_idx, kind, text, media_ref)."""
     spans = docs_df.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id",
         F.col("s.kind").alias("kind"),
@@ -164,7 +220,23 @@ def extract(
         "media_ref",
     )
 
-    all_spans = text.unionByName(media_out)
+    return text.unionByName(media_out)
+
+
+def extract(
+    docs_df: DataFrame,
+    media_df: DataFrame,
+    weights: dict,
+    **kwargs,
+) -> DataFrame:
+    """docs + media → out(doc_id, spans) with re-numbered dense offsets.
+
+    Canonical semantics == ``oracle.extract_corpus``: text spans →
+    kind='main_text' (boilerplate-stripped), media spans → one kind='cell'
+    span per assembled table cell; media_refs absent from ``media_df`` emit
+    nothing (inner join).
+    """
+    all_spans = _all_spans(docs_df, media_df, weights, **kwargs)
 
     return (
         all_spans.groupBy("doc_id")
@@ -190,14 +262,22 @@ def extract(
     )
 
 
-def extract_flat(*args, **kwargs) -> DataFrame:
-    """Same as :func:`extract` but exploded to one row per output span —
-    a stable flat schema for correctness harnesses."""
-    out = extract(*args, **kwargs)
-    return out.select("doc_id", F.explode("spans").alias("s")).select(
+def extract_flat(
+    docs_df: DataFrame, media_df: DataFrame, weights: dict, **kwargs
+) -> DataFrame:
+    """Same result as exploding :func:`extract` — one row per output span —
+    but computed with a window ``row_number`` instead of
+    collect_list/array_sort: the flat consumer needs no arrays, and the
+    ObjectHashAggregate's per-doc array building was the GC-heavy phase of
+    the benchmark (~25 s at 72% CPU on the 80k-doc corpus)."""
+    from pyspark.sql import Window
+
+    all_spans = _all_spans(docs_df, media_df, weights, **kwargs)
+    w = Window.partitionBy("doc_id").orderBy("orig_offset", "sub_idx")
+    return all_spans.select(
         "doc_id",
-        F.col("s.offset").alias("offset"),
-        F.col("s.kind").alias("kind"),
-        F.col("s.text").alias("text"),
-        F.col("s.media_ref").alias("media_ref"),
+        (F.row_number().over(w) - 1).alias("offset"),
+        "kind",
+        "text",
+        "media_ref",
     )

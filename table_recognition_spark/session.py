@@ -29,6 +29,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
+    # shuffle/spill on tmpfs when available: this sandbox's disk shows
+    # erratic writeback stalls under concurrent writers; shuffles here are
+    # a few GB at most against 126G of tmpfs
+    local_dir = (
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    )
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -48,6 +55,8 @@ def get_spark(
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -43,12 +43,13 @@ def test_single_real_shuffle(plan):
 
     exchanges = re.findall(r"\n\((\d+)\) (Exchange|BroadcastExchange)", plan)
     real = [e for e in exchanges if e[1] == "Exchange"]
-    # one for the final groupBy, one for the distinct(media_ref) aggregate
-    assert len(real) <= 2, exchanges
+    # final groupBy + distinct(media_ref) aggregate + the deliberate
+    # kernel repartition (straggler-tail levelling)
+    assert len(real) <= 3, exchanges
 
 
 def test_kernel_is_arrow_batched(plan):
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan[:800]
     # no row-at-a-time python UDFs anywhere in the pipeline
     assert "BatchEvalPython" not in plan
 
