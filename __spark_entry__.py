@@ -69,6 +69,23 @@ def _extract_interleaved_visibility(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _extract_interleaved_visual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship with the G3 visual model (numpy CNN over image crops) —
+    the reference's configured-default architecture."""
+    from table_recognition_spark.pipeline.extract import extract_flat
+    from table_recognition_spark.pipeline.flagship import (
+        fixture_media,
+        interleaved_docs,
+    )
+
+    return extract_flat(
+        interleaved_docs(spark, sf_dir),
+        fixture_media(spark),
+        _weights(),
+        model="visual",
+    )
+
+
 def _media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_recognition_spark.operators.multimodal import image_stats
     from table_recognition_spark.pipeline.flagship import fixture_media
@@ -97,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # non-SQL-expressible (GNN kernel / binary decode) → rows-only checks
     q["extract_interleaved"] = _extract_interleaved
     q["extract_interleaved_visibility"] = _extract_interleaved_visibility
+    q["extract_interleaved_visual"] = _extract_interleaved_visual
     q["media_image_stats"] = _media_image_stats
     q["media_patch_embeddings"] = _media_patch_embeddings
     return q

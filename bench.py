@@ -144,8 +144,8 @@ def main() -> None:
         )
         from table_recognition_spark.pipeline.extract import extract_flat
 
-        bench_docs = int(os.environ.get("BENCH_DOCS", "80000"))
-        bench_media = int(os.environ.get("BENCH_MEDIA", "40000"))
+        bench_docs = int(os.environ.get("BENCH_DOCS", "40000"))
+        bench_media = int(os.environ.get("BENCH_MEDIA", "20000"))
         corpus_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "BENCH",

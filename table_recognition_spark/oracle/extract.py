@@ -32,17 +32,36 @@ def run_kernel_arrays(
     height: int,
     weights: dict,
     strategy: str = "knn",
+    model: str = "g2",
+    image: bytes | None = None,
+    visual_weights: dict | None = None,
 ) -> list:
     """Array-form kernel: bboxes (n,4) int, texts list[str], rows already
     in line_id order. This is THE kernel — the dict-based ``run_kernel``
     and the Arrow-batched Spark path both funnel here, so parity is by
-    construction."""
+    construction.
+
+    ``model``: 'g2' (geometry-only, SURVEY §2.8 G2) or 'visual' (G3 — the
+    reference's configured default, node_edge_mlp_ending_visual.py); the
+    visual model additionally needs the PNG ``image`` bytes and its own
+    ``visual_weights``.
+    """
     if len(bboxes) == 0:
         return []
     edges = EDGE_STRATEGIES[strategy](bboxes, width, height)
     x = geometry.node_features(bboxes, width, height)
     e = geometry.edge_features(edges, bboxes, width, height)
-    node_lp, edge_lp = gnn.forward(x, edges, e, weights)
+    if model == "visual":
+        from ..core import visual
+        from ..fixtures.generate import png_decode_gray8
+
+        gray = png_decode_gray8(bytes(image))
+        node_crops, edge_crops = visual.crop_regions(gray, bboxes, edges)
+        node_lp, edge_lp = visual.forward(
+            x, edges, e, node_crops, edge_crops, visual_weights
+        )
+    else:
+        node_lp, edge_lp = gnn.forward(x, edges, e, weights)
     _, edge_cls = gnn.decode(node_lp, edge_lp)
     return assemble.assemble_cells(edges, edge_cls, bboxes, texts)
 
@@ -53,6 +72,7 @@ def run_kernel(
     height: int,
     weights: dict,
     strategy: str = "knn",
+    **kernel_opts,
 ) -> list:
     """One image → ordered list of assembled cell texts.
 
@@ -73,7 +93,9 @@ def run_kernel(
     polys = [[pt(p) for p in line["points"]] for line in lines]
     texts = [line["text"] for line in lines]
     bboxes = polygons_to_bboxes(polys)
-    return run_kernel_arrays(bboxes, texts, width, height, weights, strategy)
+    return run_kernel_arrays(
+        bboxes, texts, width, height, weights, strategy, **kernel_opts
+    )
 
 
 def extract_document(
@@ -114,7 +136,12 @@ def extract_document(
 
 
 def extract_corpus(
-    docs: list, media: list, weights: dict, strategy: str = "knn"
+    docs: list,
+    media: list,
+    weights: dict,
+    strategy: str = "knn",
+    model: str = "g2",
+    visual_weights: dict | None = None,
 ) -> dict:
     """Whole corpus → {doc_id: output spans}, with per-media_ref kernel
     results memoized (the distributed pipeline dedups identically)."""
@@ -128,7 +155,14 @@ def extract_corpus(
                 None
                 if m is None
                 else run_kernel(
-                    m["ocr_lines"], m["width"], m["height"], weights, strategy
+                    m["ocr_lines"],
+                    m["width"],
+                    m["height"],
+                    weights,
+                    strategy,
+                    model=model,
+                    image=m.get("image") if model == "visual" else None,
+                    visual_weights=visual_weights,
                 )
             )
         return kernel_cache[ref]

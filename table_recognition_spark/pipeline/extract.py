@@ -49,7 +49,17 @@ OUT_SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
 _WEIGHTS_CACHE: dict = {}
 
 
-def _kernel_fn(weights_bytes: bytes, strategy: str = "knn"):
+# per-worker G3 weights cache: ~15M params re-derived from the seed once
+# per executor process (too large to ship in the task closure)
+_G3_CACHE: dict = {}
+
+
+def _kernel_fn(
+    weights_bytes: bytes,
+    strategy: str = "knn",
+    model: str = "g2",
+    g3_seed: int = 42,
+):
     """Build the Arrow-batched kernel (``mapInArrow``).
 
     The nested ``ocr_lines`` column is consumed straight from the Arrow
@@ -72,6 +82,14 @@ def _kernel_fn(weights_bytes: bytes, strategy: str = "knn"):
         if w is None:
             w = weights_from_bytes(weights_bytes)
             _WEIGHTS_CACHE[key] = w
+        vw = None
+        if model == "visual":
+            vw = _G3_CACHE.get(g3_seed)
+            if vw is None:
+                from ..core import visual
+
+                vw = visual.init_weights(g3_seed)
+                _G3_CACHE[g3_seed] = vw
 
         for rb in batches:
             refs = rb.column(rb.schema.get_field_index("media_ref")).to_pylist()
@@ -81,6 +99,11 @@ def _kernel_fn(weights_bytes: bytes, strategy: str = "knn"):
             heights = rb.column(rb.schema.get_field_index("height")).to_numpy(
                 zero_copy_only=False
             )
+            images = None
+            if model == "visual":
+                images = rb.column(
+                    rb.schema.get_field_index("image")
+                ).to_pylist()
             ocr = rb.column(rb.schema.get_field_index("ocr_lines"))
             if isinstance(ocr, pa.ChunkedArray):  # pragma: no cover
                 ocr = ocr.combine_chunks()
@@ -118,7 +141,15 @@ def _kernel_fn(weights_bytes: bytes, strategy: str = "knn"):
                 b = bboxes_all[order]
                 t = [texts_all[j] for j in order]
                 cells = run_kernel_arrays(
-                    b, t, int(widths[r]), int(heights[r]), w, strategy
+                    b,
+                    t,
+                    int(widths[r]),
+                    int(heights[r]),
+                    w,
+                    strategy,
+                    model=model,
+                    image=images[r] if images is not None else None,
+                    visual_weights=vw,
                 )
                 for i, cell_text in enumerate(cells):
                     out_refs.append(refs[r])
@@ -140,9 +171,17 @@ def recognize_tables(
     weights: dict,
     kernel_partitions: int | None = None,
     strategy: str = "knn",
+    model: str = "g2",
+    g3_seed: int = 42,
 ) -> DataFrame:
-    """Distinct media rows → (media_ref, cell_idx, text) via the GNN kernel."""
-    cols = media_df.select("media_ref", "ocr_lines", "width", "height")
+    """Distinct media rows → (media_ref, cell_idx, text) via the GNN kernel.
+
+    model='visual' additionally reads the ``image`` binary column (the
+    only path that does — everything else prunes it at the scan)."""
+    cols = ["media_ref", "ocr_lines", "width", "height"]
+    if model == "visual":
+        cols.append("image")
+    cols = media_df.select(*cols)
     if kernel_partitions is None:
         # 4× cores: per-image kernel cost varies ~3× with image size, so
         # exactly-#cores partitions leave a straggler tail (measured 93%
@@ -153,7 +192,8 @@ def recognize_tables(
     if kernel_partitions:
         cols = cols.repartition(kernel_partitions, "media_ref")
     return cols.mapInArrow(
-        _kernel_fn(weights_to_bytes(weights), strategy), schema=CELLS_SCHEMA
+        _kernel_fn(weights_to_bytes(weights), strategy, model, g3_seed),
+        schema=CELLS_SCHEMA,
     )
 
 
@@ -176,6 +216,8 @@ def _all_spans(
     kernel_partitions: int | None = None,
     broadcast_cells: bool | None = None,
     strategy: str = "knn",
+    model: str = "g2",
+    g3_seed: int = 42,
 ) -> DataFrame:
     """Shared pipeline core → un-numbered output spans
     (doc_id, orig_offset, sub_idx, kind, text, media_ref)."""
@@ -203,11 +245,13 @@ def _all_spans(
     # kernel once per distinct ref; the join to `media` prunes the image
     # bytes column at the scan
     refs = media_spans.select("media_ref").distinct()
-    kernel_input = refs.join(
-        media_df.select("media_ref", "ocr_lines", "width", "height"),
-        "media_ref",
+    media_cols = ["media_ref", "ocr_lines", "width", "height"]
+    if model == "visual":
+        media_cols.append("image")
+    kernel_input = refs.join(media_df.select(*media_cols), "media_ref")
+    cells = recognize_tables(
+        kernel_input, weights, kernel_partitions, strategy, model, g3_seed
     )
-    cells = recognize_tables(kernel_input, weights, kernel_partitions, strategy)
     if broadcast_cells:
         cells = F.broadcast(cells)
 

@@ -1,0 +1,94 @@
+import numpy as np
+import pytest
+
+from table_recognition_spark.core import visual
+
+
+def test_bilinear_resize_identity_and_shape():
+    img = np.arange(100, dtype=np.float32).reshape(10, 10)
+    same = visual.bilinear_resize(img, 10, 10)
+    assert np.allclose(same, img, atol=1e-5)
+    up = visual.bilinear_resize(img, 16, 16)
+    assert up.shape == (16, 16)
+    assert up.min() >= img.min() - 1e-5 and up.max() <= img.max() + 1e-5
+
+
+def test_conv_ops_shapes():
+    x = np.random.default_rng(0).normal(size=(2, 3, 10, 10)).astype(np.float32)
+    w = visual.init_weights(1)
+    out = visual._cnn_forward(x, w, "g3.node_cnn", visual.NODE_CNN)
+    assert out.shape == (2, 256)
+    xe = np.random.default_rng(1).normal(size=(2, 3, 16, 16)).astype(np.float32)
+    oute = visual._cnn_forward(xe, w, "g3.edge_cnn", visual.EDGE_CNN)
+    assert oute.shape == (2, 256)
+
+
+def test_depthwise_matches_naive():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 2, 5, 5)).astype(np.float32)
+    w = rng.normal(size=(2, 3, 3)).astype(np.float32)
+    b = rng.normal(size=2).astype(np.float32)
+    out = visual.depthwise_conv2d(x, w, b)
+    xp = np.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    for c in range(2):
+        for i in range(5):
+            for j in range(5):
+                naive = (xp[0, c, i : i + 3, j : j + 3] * w[c]).sum() + b[c]
+                assert np.isclose(out[0, c, i, j], naive, atol=1e-4)
+
+
+def test_maxpool_and_conv_nopad():
+    x = np.arange(32, dtype=np.float32).reshape(1, 2, 4, 4)
+    p = visual.maxpool2(x)
+    assert p.shape == (1, 2, 2, 2)
+    assert p[0, 0, 0, 0] == 5.0  # max of [[0,1],[4,5]]
+    w = np.zeros((1, 2, 3, 3), dtype=np.float32)
+    w[0, 0, 1, 1] = 1.0
+    out = visual.conv2d(x, w, np.zeros(1, dtype=np.float32), pad=0)
+    assert out.shape == (1, 1, 2, 2)
+    assert out[0, 0, 0, 0] == x[0, 0, 1, 1]
+
+
+def test_forward_shapes_and_determinism():
+    rng = np.random.default_rng(3)
+    n, e = 4, 6
+    x = rng.normal(size=(n, 4)).astype(np.float32)
+    ei = np.array([[0, 1], [1, 0], [1, 2], [2, 3], [3, 0], [0, 2]])
+    ea = rng.normal(size=(e, 6)).astype(np.float32)
+    nc = rng.normal(size=(n, 3, 10, 10)).astype(np.float32)
+    ec = rng.normal(size=(e, 3, 16, 16)).astype(np.float32)
+    w = visual.init_weights(42)
+    a = visual.forward(x, ei, ea, nc, ec, w)
+    b = visual.forward(x, ei, ea, nc, ec, w)
+    assert a[0].shape == (n, 2) and a[1].shape == (e, 4)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+    assert np.allclose(np.exp(a[1]).sum(axis=1), 1.0, atol=1e-4)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_pipeline_parity_visual(spark, weights):
+    from table_recognition_spark.fixtures.generate import (
+        corpus_to_spark,
+        make_corpus,
+    )
+    from table_recognition_spark.oracle.extract import extract_corpus
+    from table_recognition_spark.pipeline.extract import extract
+
+    docs, media, _ = make_corpus(4, 2, seed=13)
+    docs_df, media_df = corpus_to_spark(spark, docs, media)
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in r["spans"]
+        ]
+        for r in extract(docs_df, media_df, weights, model="visual").collect()
+    }
+    vw = visual.init_weights(42)
+    exp = {
+        k: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in v]
+        for k, v in extract_corpus(
+            docs, media, weights, model="visual", visual_weights=vw
+        ).items()
+    }
+    assert got == exp
