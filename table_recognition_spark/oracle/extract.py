@@ -48,6 +48,9 @@ def run_kernel_arrays(
     """
     if len(bboxes) == 0:
         return []
+    from ..core.blas import limit_blas_threads
+
+    limit_blas_threads(1)
     edges = EDGE_STRATEGIES[strategy](bboxes, width, height)
     x = geometry.node_features(bboxes, width, height)
     e = geometry.edge_features(edges, bboxes, width, height)

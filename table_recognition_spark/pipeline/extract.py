@@ -75,8 +75,10 @@ def _kernel_fn(
     """
 
     def fn(batches):
+        from ..core.blas import limit_blas_threads
         from ..oracle.extract import run_kernel_arrays
 
+        limit_blas_threads(1)
         key = hash(weights_bytes)
         w = _WEIGHTS_CACHE.get(key)
         if w is None:
