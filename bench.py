@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "text_doc_stats",
     "text_token_topk",
     "text_rolling_fingerprint",
+    "text_dom_main_block",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_ngram",

@@ -121,14 +121,78 @@ def rolling_fingerprint_sql(window: int = 8) -> str:
     """
 
 
+def dom_main_block(spark, sf_dir):
+    """DOM-heuristic main-content classifier (boilerpipe-style signals)
+    over templated HTML-ish documents: per document, the block-level
+    link density, tag density, and text share of the <div>/<p> main
+    block vs the boilerplate wrappers — the features a density-based
+    main-content extractor thresholds on. Pure JVM regexps."""
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<nav><a href='/'>home</a> <a href='/x'>about</a></nav><div><p>"),
+        F.col("text"),
+        F.lit("</p></div><footer><a href='/tos'>terms</a></footer>"),
+    )
+    n_tags = F.size(F.split(html, "<")) - 1
+    n_links = F.size(F.split(html, "<a ")) - 1
+    full_len = F.length(html)
+    main = F.regexp_extract(html, "(?s)<div>(.*)</div>", 1)
+    main_text = F.trim(F.regexp_replace(main, "(?s)<[^>]*>", " "))
+    return docs.select(
+        "doc_id",
+        n_tags.alias("n_tags"),
+        n_links.alias("n_links"),
+        F.round(n_links * 1.0 / F.greatest(n_tags, F.lit(1)), 6).alias(
+            "link_density"
+        ),
+        F.round(n_tags * 1.0 / F.greatest(full_len, F.lit(1)), 6).alias(
+            "tag_density"
+        ),
+        F.length(main_text).alias("main_len"),
+        F.round(
+            F.length(main_text) * 1.0 / F.greatest(full_len, F.lit(1)), 6
+        ).alias("main_share"),
+        F.md5(main_text).alias("main_fp"),
+    )
+
+
+def dom_main_block_sql() -> str:
+    html = ("'<nav><a href=''/''>home</a> <a href=''/x''>about</a></nav>"
+            "<div><p>' || text || '</p></div>"
+            "<footer><a href=''/tos''>terms</a></footer>'")
+    return f"""
+    WITH h AS (SELECT doc_id, {html} AS html FROM documents),
+    f AS (
+      SELECT doc_id, html,
+             len(string_split(html, '<')) - 1 AS n_tags,
+             len(string_split(html, '<a ')) - 1 AS n_links,
+             length(html) AS full_len,
+             trim(regexp_replace(
+                 regexp_extract(html, '(?s)<div>(.*)</div>', 1),
+                 '(?s)<[^>]*>', ' ', 'g')) AS main_text
+      FROM h
+    )
+    SELECT doc_id, n_tags, n_links,
+           round(n_links * 1.0 / greatest(n_tags, 1), 6) AS link_density,
+           round(n_tags * 1.0 / greatest(full_len, 1), 6) AS tag_density,
+           length(main_text) AS main_len,
+           round(length(main_text) * 1.0 / greatest(full_len, 1), 6)
+               AS main_share,
+           md5(main_text) AS main_fp
+    FROM f
+    """
+
+
 QUERIES = {
     "text_doc_stats": doc_stats,
     "text_token_topk": token_topk,
     "text_rolling_fingerprint": rolling_fingerprint,
+    "text_dom_main_block": dom_main_block,
 }
 
 ORACLES = {
     "text_doc_stats": doc_stats_sql(),
     "text_token_topk": token_topk_sql(),
     "text_rolling_fingerprint": rolling_fingerprint_sql(),
+    "text_dom_main_block": dom_main_block_sql(),
 }
