@@ -80,3 +80,23 @@ def test_missing_media_ref_emits_nothing(spark, weights):
     assert len(rows) == 1
     spans = [s.asDict() for s in rows[0]["spans"]]
     assert _spans_tuples(spans) == [("main_text", "hi", "", 0)]
+
+
+@pytest.mark.spark
+def test_flat_equals_exploded_nested(spark, tiny_corpus, weights):
+    """extract_flat uses a window row_number; extract uses
+    collect_list/array_sort — the two paths must agree row-for-row."""
+    from pyspark.sql import functions as F
+
+    docs, media, _ = tiny_corpus
+    docs_df, media_df = corpus_to_spark(spark, docs, media)
+    flat = {
+        (r["doc_id"], r["offset"], r["kind"], r["text"], r["media_ref"])
+        for r in extract_flat(docs_df, media_df, weights).collect()
+    }
+    nested = {
+        (r["doc_id"], s["offset"], s["kind"], s["text"], s["media_ref"])
+        for r in extract(docs_df, media_df, weights).collect()
+        for s in r["spans"]
+    }
+    assert flat == nested
