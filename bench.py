@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "rel_revenue_rollup",
     "rel_orderstatus_pivot",
     "rel_asof_last_event",
+    "rel_events_json_props",
     "text_doc_stats",
     "text_token_topk",
     "text_rolling_fingerprint",

@@ -413,6 +413,30 @@ GROUP BY matched_priority ORDER BY matched_priority
 """
 
 
+def events_json_props(spark, sf_dir):
+    """Semi-structured extraction: pull a field out of the JSON ``props``
+    column (JVM get_json_object — no Python), bucket it, aggregate."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        # explicit floor: Spark casts double->int by truncation,
+        # DuckDB by rounding - floor() is the portable bucket
+        ev.select("event_type", F.floor(k / 10).cast("int").alias("k_bucket"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       cast(floor(cast(json_extract_string(props, '$.k') AS int) / 10) AS int)
+           AS k_bucket,
+       count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY event_type, k_bucket
+"""
+
+
 QUERIES = {
     "rel_q1_pricing_summary": q1_pricing_summary,
     "rel_q3_shipping_priority": q3_shipping_priority,
@@ -424,6 +448,7 @@ QUERIES = {
     "rel_revenue_rollup": revenue_rollup,
     "rel_orderstatus_pivot": orderstatus_pivot,
     "rel_asof_last_event": asof_event_to_order,
+    "rel_events_json_props": events_json_props,
 }
 
 ORACLES = {
@@ -437,4 +462,5 @@ ORACLES = {
     "rel_revenue_rollup": REVENUE_ROLLUP_SQL,
     "rel_orderstatus_pivot": ORDERSTATUS_PIVOT_SQL,
     "rel_asof_last_event": ASOF_SQL,
+    "rel_events_json_props": EVENTS_JSON_SQL,
 }
