@@ -30,8 +30,9 @@ def _weights():
     if _WEIGHTS is None:
         from table_recognition_spark.core import gnn
 
-        # prefer the trained artifact (93% held-out edge accuracy on
-        # synthetic grids); fall back to the frozen seeded init
+        # prefer the trained artifact (96.2% held-out edge accuracy on
+        # synthetic grids, weights/g2_trained_seed42.history.json); fall
+        # back to the frozen seeded init
         for name in ("g2_trained_seed42.npz", "g2_seed42.npz"):
             path = os.path.join(_REPO, "weights", name)
             if os.path.exists(path):
@@ -96,10 +97,14 @@ def _media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_patch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from table_recognition_spark.operators.multimodal import patch_embeddings
+    # flat (media_ref, patch_idx, value) rows: array<float> columns are
+    # unsortable in the driver's pandas canonicalizer (round-1 crash)
+    from table_recognition_spark.operators.multimodal import (
+        patch_embeddings_flat,
+    )
     from table_recognition_spark.pipeline.flagship import fixture_media
 
-    return patch_embeddings(fixture_media(spark).repartition(2))
+    return patch_embeddings_flat(fixture_media(spark).repartition(2))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

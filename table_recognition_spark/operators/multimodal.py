@@ -153,3 +153,28 @@ def patch_embeddings(media_df: DataFrame, grid: int = 4) -> DataFrame:
             )
 
     return media_df.select("media_ref", "image").mapInPandas(fn, EMBED_SCHEMA)
+
+
+def patch_embeddings_flat(media_df: DataFrame, grid: int = 4) -> DataFrame:
+    """Driver/oracle-facing shape of :func:`patch_embeddings`: the
+    ``array<float>`` column exploded to one row per ``(media_ref,
+    patch_idx, value)``. Array columns are unsortable/unhashable in a
+    pandas canonicalizer (round-1 driver failure), so the query surface
+    emits scalars only; pipelines keep the packed array form."""
+    from pyspark.sql import functions as F
+
+    emb = patch_embeddings(media_df, grid=grid)
+    return (
+        emb.select(
+            "media_ref",
+            F.posexplode("patch_embedding").alias("patch_idx", "raw"),
+        )
+        # round to 6dp in float64 so the value is reproducible across
+        # arrow float32 -> pandas float64 widening on either side
+        .select(
+            "media_ref",
+            "patch_idx",
+            F.round(F.col("raw").cast("double"), 6).alias("value"),
+        )
+        .orderBy("media_ref", "patch_idx")
+    )

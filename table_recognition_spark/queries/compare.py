@@ -40,6 +40,20 @@ def compare(spark_df, oracle_sql: str, sf_dir: str):
         return False, f"row count differs: {len(got)} vs {len(exp)}"
     for c in got.columns:
         a, b = got[c], exp[c]
+        # Strict dtype-kind parity mirrors the driver's value hash: int64
+        # 50662700 and float64 50662700.0 hash differently there (DuckDB
+        # sum -> HUGEINT -> float64 was the round-1 failure mode), so an
+        # int-vs-float pairing must fail here too.
+        a_num = pd.api.types.is_numeric_dtype(a)
+        b_num = pd.api.types.is_numeric_dtype(b)
+        if a_num and b_num and (
+            pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b)
+        ):
+            return (
+                False,
+                f"dtype kind mismatch in column {c}: {a.dtype} vs {b.dtype} "
+                "(driver hash distinguishes int from float)",
+            )
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             eq = (
                 a.astype(float).fillna(-1e308).values

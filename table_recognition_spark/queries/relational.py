@@ -51,11 +51,11 @@ def q1_pricing_summary(spark, sf_dir):
 
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       sum({cents_sql('l_quantity')}) AS sum_qty_c,
-       sum({cents_sql('l_extendedprice')}) AS sum_base_price_c,
-       sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS sum_disc_price_c,
-       sum({cents_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS sum_charge_c,
-       sum({cents_sql('l_discount')}) AS sum_disc_c,
+       CAST(sum({cents_sql('l_quantity')}) AS BIGINT) AS sum_qty_c,
+       CAST(sum({cents_sql('l_extendedprice')}) AS BIGINT) AS sum_base_price_c,
+       CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS sum_disc_price_c,
+       CAST(sum({cents_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS BIGINT) AS sum_charge_c,
+       CAST(sum({cents_sql('l_discount')}) AS BIGINT) AS sum_disc_c,
        count(*) AS count_order,
        round(sum({cents_sql('l_quantity')}) / 100.0 / count(*), 6) AS avg_qty,
        round(sum({cents_sql('l_extendedprice')}) / 100.0 / count(*), 6) AS avg_price
@@ -97,7 +97,7 @@ def q3_shipping_priority(spark, sf_dir):
 
 Q3_SQL = f"""
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-       sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS revenue_c
+       CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS revenue_c
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -142,7 +142,7 @@ def q5_local_supplier(spark, sf_dir):
 
 
 Q5_SQL = f"""
-SELECT n_name, sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS revenue_c
+SELECT n_name, CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS revenue_c
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -208,7 +208,7 @@ def brand_revenue_topk(spark, sf_dir, k: int = 10):
 
 
 BRAND_REVENUE_SQL = f"""
-SELECT p_brand, sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS revenue_c,
+SELECT p_brand, CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS revenue_c,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand ORDER BY revenue_c DESC, p_brand LIMIT 10
@@ -238,7 +238,7 @@ def events_hourly(spark, sf_dir):
 EVENTS_HOURLY_SQL = f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
        event_type, count(*) AS n,
-       sum({cents_sql('value')}) AS value_c,
+       CAST(sum({cents_sql('value')}) AS BIGINT) AS value_c,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
@@ -286,11 +286,13 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g
 )
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM s GROUP BY user_id ORDER BY user_id
 """
 
@@ -319,7 +321,7 @@ def revenue_rollup(spark, sf_dir):
 REVENUE_ROLLUP_SQL = f"""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS revenue_c,
+       CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS revenue_c,
        count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
