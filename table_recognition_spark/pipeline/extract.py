@@ -185,11 +185,13 @@ def recognize_tables(
         cols.append("image")
     cols = media_df.select(*cols)
     if kernel_partitions is None:
-        # 4× cores: per-image kernel cost varies ~3× with image size, so
-        # exactly-#cores partitions leave a straggler tail (measured 93%
-        # CPU at 32 cores); finer tasks let the scheduler level it
+        # 8× cores: per-image kernel cost varies ~3× with image size, so
+        # exactly-#cores partitions leave a straggler tail (measured 84%
+        # CPU utilization at 16 cores with 4×); finer tasks let the
+        # scheduler level the tail, and mapInArrow tasks reuse warm
+        # python workers so the extra task overhead is negligible
         kernel_partitions = (
-            media_df.sparkSession.sparkContext.defaultParallelism * 4
+            media_df.sparkSession.sparkContext.defaultParallelism * 8
         )
     if kernel_partitions:
         cols = cols.repartition(kernel_partitions, "media_ref")

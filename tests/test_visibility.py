@@ -77,3 +77,51 @@ def test_pipeline_parity_visibility(spark, tiny_corpus, weights):
         for k, v in extract_corpus(docs, media, weights, strategy="visibility").items()
     }
     assert got == exp
+
+
+def test_optimized_equals_full_march():
+    """The chunked early-exit kernel must be result-identical to the
+    direct full-march transcription of the frozen spec, across random
+    fixture images and adversarial small cases."""
+    import numpy as np
+
+    from table_recognition_spark.core.visibility import (
+        _visibility_edges_full_march,
+    )
+    from table_recognition_spark.fixtures.generate import _make_table_image
+
+    for i in range(12):
+        rng = np.random.default_rng([321, i])
+        m, _ = _make_table_image(rng, f"eq{i}")
+        b = np.array(
+            [
+                [
+                    min(p["x"] for p in l["points"]),
+                    min(p["y"] for p in l["points"]),
+                    max(p["x"] for p in l["points"]),
+                    max(p["y"] for p in l["points"]),
+                ]
+                for l in m["ocr_lines"]
+            ],
+            dtype=np.int64,
+        )
+        got = visibility_edges(b, m["width"], m["height"])
+        exp = _visibility_edges_full_march(b, m["width"], m["height"])
+        assert np.array_equal(got, exp), f"mismatch on fixture {i}"
+
+    # adversarial: overlapping boxes, box at border, wide+thin mix,
+    # degenerate (zero-area) box, node whose center is overwritten
+    rng = np.random.default_rng(99)
+    for trial in range(30):
+        n = int(rng.integers(2, 12))
+        w, h = int(rng.integers(30, 200)), int(rng.integers(30, 200))
+        b = np.zeros((n, 4), dtype=np.int64)
+        for j in range(n):
+            x0 = int(rng.integers(0, w - 2))
+            y0 = int(rng.integers(0, h - 2))
+            x1 = x0 + int(rng.integers(0, w - x0))
+            y1 = y0 + int(rng.integers(0, h - y0))
+            b[j] = (x0, y0, x1, y1)
+        got = visibility_edges(b, w, h)
+        exp = _visibility_edges_full_march(b, w, h)
+        assert np.array_equal(got, exp), f"mismatch on random trial {trial}"
