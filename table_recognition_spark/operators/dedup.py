@@ -341,68 +341,84 @@ def dedup_jaccard_ngram_sql() -> str:
 
 
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs: quantize components to int
-    (round(x·1000)), then cosine ≥ 0.4 becomes the pure-integer test
-    dot > 0 AND 25·dot² ≥ 4·‖a‖²·‖b‖². At 100 TB the pair generation
-    is bucketed by a sign-LSH prefix (see similarity.lsh_buckets);
-    here the demo scope (500 vectors) joins within label partitions."""
+    """Embedding near-dup pairs, sign-LSH bucketed: candidates are pairs
+    sharing the 8-bit sign pattern of their first 8 components (near-dups
+    have near-identical components, so they collide; random pairs land in
+    one of 256 buckets → the candidate join is bucket-partitioned and
+    sub-quadratic, the 100-TB shape). Verification is exact integer
+    cosine: quantize components to int (round(x·1000)), then cosine ≥ 0.4
+    becomes dot > 0 AND 25·dot² ≥ 4·‖a‖²·‖b‖². Scoring is the
+    Arrow-vectorized numpy dot (similarity._dot_pandas), exactly equal to
+    the SQL oracle's integer dot.
+
+    Round 1 joined all pairs within ``label`` — O(n²/labels) at scale and
+    the slowest bench query (23.9 s); this replaces that plan."""
+    from .similarity import _bucket_expr, _dot_pandas
+
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        "label",
-        # cast float→double BEFORE arithmetic so both engines round the
-        # same double (float math could differ at half-way boundaries)
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("long")
-        ).alias("qv"),
-    ).withColumn(
-        "norm2",
-        F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
+    q = (
+        emb.select(
+            "vec_id",
+            "label",
+            _bucket_expr(F.col("embedding")).alias("bucket"),
+            # cast float→double BEFORE arithmetic so both engines round
+            # the same double (float math could differ at half-way points)
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000, 0).cast("long"),
+            ).alias("qv"),
+        )
+        .withColumn(
+            "norm2",
+            F.aggregate(
+                "qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ),
+        )
     )
     a = q.select(
         F.col("vec_id").alias("id_a"),
-        F.col("label").alias("lbl"),
+        F.col("label").alias("label"),
+        F.col("bucket").alias("bkt"),
         F.col("qv").alias("qa"),
         F.col("norm2").alias("na"),
     )
     b = q.select(
         F.col("vec_id").alias("id_b"),
-        F.col("label").alias("lbl"),
+        F.col("bucket").alias("bkt"),
         F.col("qv").alias("qb"),
         F.col("norm2").alias("nb"),
     )
-    joined = a.join(b, "lbl").filter(F.col("id_a") < F.col("id_b"))
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    joined = a.join(b, "bkt").filter(F.col("id_a") < F.col("id_b"))
     return (
-        joined.withColumn("dot", dot)
+        joined.withColumn("dot", _dot_pandas("qa", "qb"))
         .filter(
             (F.col("dot") > 0)
             & (F.col("dot") * F.col("dot") * 25 >= F.col("na") * F.col("nb") * 4)
         )
-        .select("id_a", "id_b", "dot", F.col("lbl").alias("label"))
+        .select("id_a", "id_b", "dot", "label")
     )
 
 
 def dedup_embedding_cosine_sql() -> str:
-    return """
+    bucket = (
+        "list_sum(list_transform(range(1, 9), j -> CASE WHEN "
+        "embedding[j] > 0.0 THEN (1 << (j - 1)) ELSE 0 END))"
+    )
+    return f"""
     WITH q AS (
-      SELECT vec_id, label,
+      SELECT vec_id, label, {bucket} AS bucket,
              list_transform(embedding, x -> cast(round(x::DOUBLE*1000) AS bigint)) AS qv
       FROM embeddings
     ),
     n AS (
-      SELECT vec_id, label, qv,
+      SELECT vec_id, label, bucket, qv,
              list_sum(list_transform(qv, x -> x * x)) AS norm2
       FROM q
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            list_dot_product(a.qv, b.qv)::bigint AS dot,
            a.label AS label
-    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.qv, b.qv)::bigint > 0
       AND list_dot_product(a.qv, b.qv)::bigint
           * list_dot_product(a.qv, b.qv)::bigint * 25

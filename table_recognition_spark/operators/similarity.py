@@ -14,6 +14,8 @@ Both have exact DuckDB oracles.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Window, functions as F
 
 from .common import load
@@ -21,6 +23,34 @@ from .common import load
 N_QUERIES = 5
 TOP_K = 10
 LSH_BITS = 8
+
+
+_DOT_PANDAS = None
+
+
+def _dot_pandas(a, b):
+    """Arrow-vectorized integer dot product over candidate pairs.
+
+    Exactly equal to the Catalyst HOF ``_dot`` (both are pure int64
+    arithmetic on the same quantized vectors) but scored as one numpy
+    einsum per Arrow batch instead of a per-pair lambda chain — the HOF
+    version cost ~1 ms/pair (10.6 s for 10k pairs in the round-1 bench).
+    ``_dot`` is retained as the oracle-matching baseline; equality is
+    pinned by tests/test_queries_duckdb.py. (The udf object is built
+    lazily: the decorator needs an active SparkSession.)"""
+    global _DOT_PANDAS
+    if _DOT_PANDAS is None:
+
+        @F.pandas_udf("long")
+        def dot_pd(x: pd.Series, y: pd.Series) -> pd.Series:
+            if len(x) == 0:
+                return pd.Series([], dtype="int64")
+            A = np.stack(x.to_numpy())
+            B = np.stack(y.to_numpy())
+            return pd.Series(np.einsum("ij,ij->i", A, B))
+
+        _DOT_PANDAS = dot_pd
+    return _DOT_PANDAS(a, b)
 
 
 def _quantized(emb):
@@ -55,7 +85,7 @@ def sim_bruteforce_topk(spark, sf_dir):
         .select(
             "query_id",
             "vec_id",
-            _dot("q_qv", "qv").alias("dot_q"),
+            _dot_pandas("q_qv", "qv").alias("dot_q"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -124,7 +154,7 @@ def sim_lsh_ann_topk(spark, sf_dir):
             (F.col("bucket") == F.col("q_bucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "vec_id", _dot("q_qv", "qv").alias("dot_q"))
+        .select("query_id", "vec_id", _dot_pandas("q_qv", "qv").alias("dot_q"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
     return (
@@ -187,7 +217,7 @@ def sim_label_centroid_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
     )
     scored = F.broadcast(queries).crossJoin(cent_arr).select(
-        "query_id", "label", _dot("q_qv", "cv").alias("dot_c")
+        "query_id", "label", _dot_pandas("q_qv", "cv").alias("dot_c")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_c"), F.asc("label"))
     _ = dim

@@ -38,3 +38,29 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"doc_id", "offset", "kind", "text", "media_ref"}
+
+
+@pytest.mark.spark
+def test_pandas_dot_equals_hof_dot(spark):
+    """The Arrow-vectorized scorer must be bit-equal to the Catalyst HOF
+    integer dot it replaced in the hot paths."""
+    from pyspark.sql import functions as F
+
+    from table_recognition_spark.operators.similarity import (
+        _dot, _dot_pandas, _quantized,
+    )
+    from table_recognition_spark.operators.common import load
+
+    q = _quantized(load(spark, SF, "embeddings"))
+    pairs = (
+        q.select(F.col("vec_id").alias("ia"), F.col("qv").alias("qa"))
+        .join(
+            q.select(F.col("vec_id").alias("ib"), F.col("qv").alias("qb")),
+            F.col("ia") % 37 == F.col("ib") % 37,
+        )
+        .limit(5000)
+    )
+    diff = pairs.select(
+        (_dot("qa", "qb") - _dot_pandas("qa", "qb")).alias("d")
+    ).filter(F.col("d") != 0)
+    assert diff.count() == 0
