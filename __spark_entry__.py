@@ -107,6 +107,86 @@ def _media_patch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return patch_embeddings_flat(fixture_media(spark).repartition(2))
 
 
+def _extract_from_pagexml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship extraction with the media table round-tripped through
+    PAGE-XML strings — the reference's actual input format (graph.py:47-59)
+    — proving the XML ingestion path feeds the pipeline unchanged.
+    Span-equality vs the direct path is pinned in tests/test_sources_xml."""
+    from pyspark.sql import functions as F
+
+    from table_recognition_spark.pipeline.extract import extract_flat
+    from table_recognition_spark.pipeline.flagship import (
+        fixture_media,
+        interleaved_docs,
+    )
+    from table_recognition_spark.sources.pagexml import (
+        parse_page_xml_col,
+        serialize_page_xml_col,
+    )
+
+    media = fixture_media(spark)
+    xml_media = media.select(
+        "media_ref", "width", "height",
+        serialize_page_xml_col(F.col("ocr_lines")).alias("page_xml"),
+    )
+    parsed = xml_media.select(
+        "media_ref", "width", "height",
+        parse_page_xml_col(F.col("page_xml")).alias("ocr_lines"),
+    )
+    return extract_flat(interleaved_docs(spark, sf_dir), parsed, _weights())
+
+
+_SPLIT_IDS = [i * 7 + 3 for i in range(20)]
+
+
+def _dataset_split_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-list loader (reference dataset.py:14-39): select only the
+    documents named by a split list; isin predicate pushed to the scan."""
+    from pyspark.sql import functions as F
+
+    from table_recognition_spark.operators.dataset_ops import filter_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        filter_split(docs, _SPLIT_IDS, "doc_id")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+DATASET_SPLIT_SQL = (
+    "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN ("
+    + ", ".join(str(i) for i in _SPLIT_IDS)
+    + ") ORDER BY doc_id"
+)
+
+
+def _gt_repair_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GT row-range repair (reference dataset_editing/Table.py:27-41) over
+    the fixture ground-truth table, emitted flat for the driver check."""
+    from pyspark.sql import functions as F
+
+    from table_recognition_spark.operators.dataset_ops import repair_gt_rows
+    from table_recognition_spark.pipeline.flagship import fixture_gt
+
+    repaired = repair_gt_rows(fixture_gt(spark))
+    return (
+        repaired.select(
+            "media_ref", F.posexplode("cells").alias("cell_idx", "c")
+        )
+        .select(
+            "media_ref",
+            "cell_idx",
+            F.col("c.type").alias("cell_type"),
+            F.col("c.start_row").alias("start_row"),
+            F.col("c.end_row").alias("end_row"),
+            F.col("c.start_col").alias("start_col"),
+            F.col("c.end_col").alias("end_col"),
+        )
+        .orderBy("media_ref", "cell_idx")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from table_recognition_spark.operators import dedup, similarity, textstats
     from table_recognition_spark.queries import relational
@@ -120,8 +200,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_interleaved"] = _extract_interleaved
     q["extract_interleaved_visibility"] = _extract_interleaved_visibility
     q["extract_interleaved_visual"] = _extract_interleaved_visual
+    q["extract_from_pagexml"] = _extract_from_pagexml
+    q["gt_repair_rows"] = _gt_repair_rows
     q["media_image_stats"] = _media_image_stats
     q["media_patch_embeddings"] = _media_patch_embeddings
+    q["dataset_split_load"] = _dataset_split_load
     return q
 
 
@@ -134,4 +217,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(textstats.ORACLES)
     o.update(dedup.ORACLES)
     o.update(similarity.ORACLES)
+    o["dataset_split_load"] = DATASET_SPLIT_SQL
     return o

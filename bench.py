@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "sim_lsh_ann_topk",
     "sim_label_centroid_topk",
     "media_image_stats",
+    "media_patch_embeddings",
+    "dataset_split_load",
+    "gt_repair_rows",
+    "extract_from_pagexml",
     "extract_interleaved",
 ]
 

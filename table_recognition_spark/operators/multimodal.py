@@ -50,15 +50,37 @@ EMBED_SCHEMA = T.StructType(
 )
 
 
+# Codec registry: container magic → decoder(bytes) -> HxW uint8 array.
+# The reference dataset is JPEG (graph.py:103,174 reads .jpg); this
+# environment has no JPEG codec library, so the JPEG slot is an explicit
+# injection seam — ``register_codec(JPEG_MAGIC, cv2_or_pil_decoder)`` at
+# deployment swaps it in without touching any operator. The seam is
+# exercised by tests/test_multimodal.py with an injected fake codec.
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+_CODECS: dict = {PNG_MAGIC: lambda d: png_decode_gray8(bytes(d))}
+
+
+def register_codec(magic: bytes, decoder) -> None:
+    """Install a decoder for a container magic prefix (e.g. a cv2/PIL
+    JPEG decoder in a deployment that ships one)."""
+    _CODECS[bytes(magic)] = decoder
+
+
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode a binary image payload. PNG (grayscale 8-bit, our fixture
-    codec) is supported; other containers are stubbed."""
-    if data[:8] == b"\x89PNG\r\n\x1a\n":
-        return png_decode_gray8(bytes(data))
-    if data[:3] == b"\xff\xd8\xff":  # JPEG magic
+    """Decode a binary image payload via the codec registry. PNG
+    (grayscale 8-bit, our fixture codec) is built in; JPEG raises until a
+    codec is injected with :func:`register_codec`."""
+    head = bytes(data[:8])
+    for magic, dec in _CODECS.items():
+        if head.startswith(magic):
+            return dec(data)
+    if head.startswith(JPEG_MAGIC):
         raise NotImplementedError(
             "JPEG decode requires an image codec library (cv2/PIL), "
-            "not present in this environment; swap decode_image()."
+            "not present in this environment; inject one with "
+            "register_codec(JPEG_MAGIC, decoder)."
         )
     raise NotImplementedError(f"unknown image container: {data[:8]!r}")
 

@@ -81,6 +81,32 @@ def fixture_media(spark: SparkSession, n_media: int = N_MEDIA) -> DataFrame:
     return spark.read.parquet(cache)
 
 
+def fixture_gt(spark: SparkSession, n_media: int = N_MEDIA) -> DataFrame:
+    """Seeded fixture ground-truth cells table (same corpus/seed as
+    :func:`fixture_media`), parquet-cached the same way."""
+    import os
+    import tempfile
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "dist", f"fixture_gt_n{n_media}_seed42.parquet",
+    )
+    if not os.path.exists(cache):
+        _, media, gt = make_corpus(0, n_media, seed=42)
+        _, _, gt_df = corpus_to_spark(spark, [], media, gt)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = tempfile.mkdtemp(dir=os.path.dirname(cache))
+        gt_df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "data")
+        )
+        try:
+            os.rename(os.path.join(tmp, "data"), cache)
+        except OSError:
+            pass
+    return spark.read.parquet(cache)
+
+
 def flagship(spark: SparkSession, sf_dir: str, weights: dict) -> DataFrame:
     """The end-to-end flagship: interleaved docs → extraction → flat spans."""
     docs_df = interleaved_docs(spark, sf_dir)

@@ -65,3 +65,41 @@ def test_patch_embeddings_shape(spark, tiny_corpus):
     rows = patch_embeddings(media_df).collect()
     assert all(len(r["patch_embedding"]) == 16 for r in rows)
     assert all(0.0 <= v <= 1.0 for r in rows for v in r["patch_embedding"])
+
+
+def test_jpeg_codec_injection_seam():
+    """decode_image must route JPEG payloads through an injected codec —
+    the deployment swap point for the reference's .jpg dataset — and the
+    mapInPandas operators must work end-to-end through it."""
+    import numpy as np
+    import pytest
+
+    from table_recognition_spark.operators import multimodal as mm
+
+    # deterministic fake "JPEG": magic + 2-byte dims + raw gray8 payload
+    def fake_jpeg_encode(img):
+        h, w = img.shape
+        return mm.JPEG_MAGIC + bytes([h, w]) + img.tobytes()
+
+    def fake_jpeg_decode(data):
+        body = bytes(data)[3:]
+        h, w = body[0], body[1]
+        return np.frombuffer(body[2:], dtype=np.uint8).reshape(h, w)
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
+    payload = fake_jpeg_encode(img)
+
+    # before injection: explicit NotImplementedError naming the seam
+    with pytest.raises(NotImplementedError, match="register_codec"):
+        mm.decode_image(payload)
+
+    mm.register_codec(mm.JPEG_MAGIC, fake_jpeg_decode)
+    try:
+        out = mm.decode_image(payload)
+        assert np.array_equal(out, img)
+        # PNG path unaffected
+        from table_recognition_spark.fixtures.generate import png_encode
+
+        assert np.array_equal(mm.decode_image(png_encode(img)), img)
+    finally:
+        del mm._CODECS[mm.JPEG_MAGIC]
