@@ -426,12 +426,96 @@ def dedup_embedding_cosine_sql() -> str:
     """
 
 
+def dedup_groups_cc(spark, sf_dir):
+    """Duplicate GROUPS from near-dup pairs: connected components by
+    iterative min-label propagation, the step that turns pairwise
+    detection into an actual keep-one-per-cluster dedup decision.
+
+    Each iteration is one hash-shuffle join (neighbor-min) + an eager
+    ``localCheckpoint`` that truncates lineage so the loop's plan depth
+    stays O(1); iterations ≤ graph diameter (near-dup clusters are
+    shallow — dup chains of depth d converge in d rounds). At 100 TB the
+    same loop runs with reliable ``checkpoint()`` to HDFS/S3 instead of
+    local blocks; for adversarial long-chain graphs swap the propagation
+    body for large-star/small-star (O(log n) rounds) — the surrounding
+    fixpoint driver is identical. Oracle: DuckDB recursive-CTE transitive
+    closure over the same pair set."""
+    pairs = dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint()  # pairs are reused every iteration
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("group_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("group_id").alias("dst_group"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_group").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(
+                nbr.withColumnRenamed("src", "doc_id"), "doc_id", "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("group_id"),
+                    F.coalesce("nbr_min", F.col("group_id")),
+                ).alias("group_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
+
+
+def dedup_groups_cc_sql() -> str:
+    return f"""
+    WITH RECURSIVE jp AS (
+      SELECT doc_a, doc_b FROM ({dedup_jaccard_ngram_sql()}) t
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp
+      UNION
+      SELECT doc_b, doc_a FROM jp
+    ),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS group_id
+    FROM reach GROUP BY src ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_jaccard_ngram": dedup_jaccard_ngram,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_groups_cc": dedup_groups_cc,
 }
 
 ORACLES = {
@@ -440,4 +524,5 @@ ORACLES = {
     "dedup_simhash": dedup_simhash_sql(),
     "dedup_jaccard_ngram": dedup_jaccard_ngram_sql(),
     "dedup_embedding_cosine": dedup_embedding_cosine_sql(),
+    "dedup_groups_cc": dedup_groups_cc_sql(),
 }

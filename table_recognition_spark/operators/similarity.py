@@ -255,14 +255,61 @@ def sim_label_centroid_topk_sql() -> str:
     """
 
 
+def sim_ann_recall(spark, sf_dir):
+    """ANN quality metric: per-query recall of the sign-LSH top-k against
+    the exact brute-force top-k (|ANN ∩ exact| per query). The evaluation
+    loop a production ANN deployment runs on a sampled query set — both
+    sides are the operators above, so this also pins their consistency."""
+    exact = sim_bruteforce_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("exact_id")
+    )
+    ann = sim_lsh_ann_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("ann_id")
+    )
+    hits = exact.join(
+        ann,
+        (exact.query_id == ann.query_id) & (exact.exact_id == ann.ann_id),
+    ).groupBy(exact.query_id).agg(F.count("*").alias("n_hits"))
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def sim_ann_recall_sql() -> str:
+    return f"""
+    WITH exact AS (SELECT query_id, vec_id FROM ({sim_bruteforce_topk_sql()}) e),
+    ann AS (SELECT query_id, vec_id FROM ({sim_lsh_ann_topk_sql()}) a),
+    hits AS (
+      SELECT exact.query_id, count(*) AS n_hits
+      FROM exact JOIN ann ON exact.query_id = ann.query_id
+                         AND exact.vec_id = ann.vec_id
+      GROUP BY exact.query_id
+    )
+    SELECT k.query_id, k.k, coalesce(hits.n_hits, 0) AS n_hits
+    FROM (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id) k
+    LEFT JOIN hits ON k.query_id = hits.query_id
+    ORDER BY k.query_id
+    """
+
+
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_ann_topk": sim_lsh_ann_topk,
     "sim_label_centroid_topk": sim_label_centroid_topk,
+    "sim_ann_recall": sim_ann_recall,
 }
 
 ORACLES = {
     "sim_bruteforce_topk": sim_bruteforce_topk_sql(),
     "sim_lsh_ann_topk": sim_lsh_ann_topk_sql(),
     "sim_label_centroid_topk": sim_label_centroid_topk_sql(),
+    "sim_ann_recall": sim_ann_recall_sql(),
 }

@@ -70,3 +70,19 @@ def test_no_per_row_python_udf_registered():
     for py in root.rglob("*.py"):
         src = py.read_text()
         assert "F.udf(" not in src and "@udf" not in src, py
+
+
+def test_split_filter_pushed_to_scan(spark, tmp_path):
+    """filter_split's isin predicate must reach the parquet scan as a
+    PushedFilters In(...) entry — at 100 TB this is partition/row-group
+    pruning, not a post-scan filter."""
+    from table_recognition_spark.operators.dataset_ops import filter_split
+
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(100)], "doc_id long, txt string"
+    )
+    path = str(tmp_path / "docs")
+    df.write.parquet(path)
+    out = filter_split(spark.read.parquet(path), [3, 17, 42], "doc_id")
+    p = _formatted_plan(out)
+    assert "PushedFilters" in p and "In(doc_id" in p, p
