@@ -250,43 +250,34 @@ def main() -> None:
             ][-1]
             return float(line.split()[2])
 
-        # Efficiency is a RATIO, and this shared VM has minutes-long noisy
-        # phases (measured 2-3× wall swings on identical runs). The two
-        # sizes therefore run CONCURRENTLY on DISJOINT pinned core sets —
-        # both children see the identical host conditions, so additive
-        # noise cancels in the ratio (sequential adjacent pairs did not
-        # cancel: host state drifted between the two runs of a pair).
-        # Disjoint sets also mean no core competition between the
-        # children; they share only DRAM, and the lo-size child finishing
-        # last runs its tail uncontended, which UNDERSTATES efficiency —
-        # the conservative direction. Best pair of N reported; per-size
-        # throughputs report minima (noise only ever adds time).
+        # Protocol: sequential, alternating [hi, lo] × attempts, each run
+        # SOLO on its pinned core set; efficiency computed from the
+        # PER-SIZE MINIMA. Rationale, learned the hard way on this shared
+        # VM (noise swings identical runs up to 2×):
+        # - concurrent disjoint-core pairs are biased: the wide sibling's
+        #   DRAM traffic inflates the narrow run ~25-40%, which OVERSTATES
+        #   efficiency (measured pair ratios of 1.1-1.2 — nonsense);
+        # - a single sequential adjacent pair doesn't cancel noise (host
+        #   state drifts between the two runs of a pair, round-1's 0.51);
+        # - noise is strictly additive, so min-of-N per size is the best
+        #   estimator of the uncontended machine, and the ratio of minima
+        #   the best estimate of true software scaling. Capped at 1.0.
         attempts = int(os.environ.get("BENCH_SCALE_ATTEMPTS", "3"))
         lo_n, hi_n = sizes[0], sizes[-1]
-        # hi child on cores 4..4+hi_n-1, lo child above it — keeps both
-        # clear of cores 0-3 where system daemons land
+        # keep children clear of cores 0-3 where system daemons land
         hi_cores = f"4-{4 + hi_n - 1}"
-        lo_lo = 4 + hi_n
-        lo_cores = f"{lo_lo}-{lo_lo + lo_n - 1}"
-        # the hi-size job is ~ratio× shorter; repeating it min-of-R makes
-        # its measurement window span the lo-size single run, so a noise
-        # burst that lands mid-pair degrades both sides, not just one
-        hi_repeats = max(1, int(sizes[-1] // sizes[0]) - 1)
+        lo_cores = f"4-{4 + lo_n - 1}"
         pairs = []
         for _ in range(attempts):
-            p_hi = spawn_child(hi_n, hi_cores, hi_repeats)
-            p_lo = spawn_child(lo_n, lo_cores)
-            t_hi = parse_result(p_hi)
-            t_lo = parse_result(p_lo)
+            t_hi = parse_result(spawn_child(hi_n, hi_cores))
+            t_lo = parse_result(spawn_child(lo_n, lo_cores))
             pairs.append((t_lo, t_hi))
         ratio_cores = sizes[-1] / sizes[0]
-        # median pair efficiency: robust to one noise-hit pair in either
-        # direction (a best-pair report can exceed 1.0 when the lo run of
-        # one pair is noise-inflated — super-linear "efficiency" is an
-        # artifact, so the estimate is also capped at 1.0); all pairs are
-        # emitted for transparency
-        effs = sorted(p[0] / (ratio_cores * p[1]) for p in pairs)
-        eff = min(1.0, effs[len(effs) // 2])
+        eff = min(
+            1.0,
+            min(p[0] for p in pairs)
+            / (ratio_cores * min(p[1] for p in pairs)),
+        )
         scaling = {
             str(sizes[0]): {
                 "seconds": round(min(p[0] for p in pairs), 3),

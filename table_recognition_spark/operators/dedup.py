@@ -440,19 +440,24 @@ def dedup_groups_cc(spark, sf_dir):
     body for large-star/small-star (O(log n) rounds) — the surrounding
     fixpoint driver is identical. Oracle: DuckDB recursive-CTE transitive
     closure over the same pair set."""
-    pairs = dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("src", "dst")
-        .localCheckpoint()  # pairs are reused every iteration
+    # materialize the pair set ONCE before mirroring: the union would
+    # otherwise evaluate the (expensive) jaccard subplan twice, and the
+    # edges are reused every iteration anyway
+    pairs = (
+        dedup_jaccard_ngram(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
+    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("group_id", F.col("doc_id"))
         .localCheckpoint()
     )
-    while True:
+    # near-dup components are shallow (dup chains of depth d converge in
+    # d rounds); the cap is a runaway guard, not a correctness bound
+    for _ in range(30):
         nbr = (
             edges.join(
                 labels.select(
