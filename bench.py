@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "text_token_topk",
     "text_rolling_fingerprint",
     "text_dom_main_block",
+    "text_sample_stratified",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_ngram",

@@ -183,11 +183,69 @@ def dom_main_block_sql() -> str:
     """
 
 
+SAMPLE_RATES = {"high": 100, "mid": 50, "low": 10}  # percent kept
+
+
+def sample_stratified(spark, sf_dir):
+    """Deterministic quality-stratified sampling — the data-mixing
+    primitive of a training pipeline: bucket documents by quality score,
+    keep each bucket at its configured rate, with the keep decision a
+    pure function of doc_id (first 4 hex digits of md5 → % 100 < rate).
+    Deterministic ⇒ reproducible mixes, idempotent re-runs, and an exact
+    cross-engine oracle; at scale the hash test is a codegen'd scan-side
+    filter, no shuffle at all."""
+    stats = doc_stats(spark, sf_dir)
+    bucket = (
+        F.when(F.col("quality_score") >= 0.55, F.lit("high"))
+        .when(F.col("quality_score") >= 0.45, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    roll = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long") % 100
+    rate = (
+        F.when(bucket == "high", F.lit(SAMPLE_RATES["high"]))
+        .when(bucket == "mid", F.lit(SAMPLE_RATES["mid"]))
+        .otherwise(F.lit(SAMPLE_RATES["low"]))
+    )
+    return (
+        stats.select(
+            "doc_id", bucket.alias("bucket"), roll.alias("roll"),
+            "quality_score",
+        )
+        .filter(F.col("roll") < rate)
+        .select("doc_id", "bucket", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+def sample_stratified_sql() -> str:
+    return f"""
+    WITH stats AS ({doc_stats_sql()}),
+    b AS (
+      SELECT doc_id, quality_score,
+             CASE WHEN quality_score >= 0.55 THEN 'high'
+                  WHEN quality_score >= 0.45 THEN 'mid'
+                  ELSE 'low' END AS bucket,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                 % 100 AS roll
+      FROM stats
+    )
+    SELECT doc_id, bucket, quality_score
+    FROM b
+    WHERE roll < CASE bucket WHEN 'high' THEN {SAMPLE_RATES['high']}
+                             WHEN 'mid' THEN {SAMPLE_RATES['mid']}
+                             ELSE {SAMPLE_RATES['low']} END
+    ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "text_doc_stats": doc_stats,
     "text_token_topk": token_topk,
     "text_rolling_fingerprint": rolling_fingerprint,
     "text_dom_main_block": dom_main_block,
+    "text_sample_stratified": sample_stratified,
 }
 
 ORACLES = {
@@ -195,4 +253,5 @@ ORACLES = {
     "text_token_topk": token_topk_sql(),
     "text_rolling_fingerprint": rolling_fingerprint_sql(),
     "text_dom_main_block": dom_main_block_sql(),
+    "text_sample_stratified": sample_stratified_sql(),
 }
