@@ -50,23 +50,28 @@ def worker(args):
     return tot
 
 
-def run(inputs, n_workers):
+def run(inputs, n_workers, repeats=1):
+    """Time ONLY the map over a pre-warmed pool (workers spawned and
+    module imported before the clock starts); min of `repeats`."""
     chunks = [inputs[i::n_workers] for i in range(n_workers)]
-    t0 = time.time()
     with mp.get_context("spawn").Pool(n_workers) as p:
-        tots = p.map(worker, chunks)
-    return time.time() - t0, sum(tots)
+        p.map(worker, [c[:2] for c in chunks])  # warm imports
+        best, tots = float("inf"), None
+        for _ in range(repeats):
+            t0 = time.time()
+            tots = p.map(worker, chunks)
+            best = min(best, time.time() - t0)
+    return best, sum(tots)
 
 
 if __name__ == "__main__":
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     inputs = make_inputs(n_images)
-    # warm (import cost) with tiny run
-    run(inputs[:32], hi)
-    t_hi, tot_hi = run(inputs, hi)
-    t_lo, tot_lo = run(inputs, lo)
+    t_hi, tot_hi = run(inputs, hi, reps)
+    t_lo, tot_lo = run(inputs, lo, reps)
     assert tot_lo == tot_hi
     eff = t_lo / ((hi / lo) * t_hi)
     print(

@@ -65,16 +65,24 @@ def _ray_steps(img_w: int, img_h: int) -> int:
 # contends across 16+ concurrent executor processes; instead one buffer
 # grows to the largest image seen and only the rectangles painted by the
 # PREVIOUS image are cleared (sum of rect areas ≪ plane area). int16 is
-# enough for any realistic line count and halves gather traffic.
+# enough for any realistic line count and halves gather traffic; pages
+# with ≥ 32767 lines fall back to an int32 plane (wrap would silently
+# corrupt labels).
 _BUF: dict = {"plane": None, "dirty": None}
 
 
 def _render_into_buffer(b: np.ndarray, img_w: int, img_h: int) -> np.ndarray:
+    dtype = np.int16 if len(b) < 32767 else np.int32
     plane = _BUF["plane"]
-    if plane is None or plane.shape[0] < img_h or plane.shape[1] < img_w:
+    if (
+        plane is None
+        or plane.shape[0] < img_h
+        or plane.shape[1] < img_w
+        or plane.dtype != dtype
+    ):
         h = max(img_h, plane.shape[0] if plane is not None else 0)
         w = max(img_w, plane.shape[1] if plane is not None else 0)
-        plane = np.zeros((h, w), dtype=np.int16)
+        plane = np.zeros((h, w), dtype=dtype)
         _BUF["plane"] = plane
         _BUF["dirty"] = None
     dirty = _BUF["dirty"]
@@ -140,7 +148,7 @@ def visibility_edges(
     # chunks let the active set collapse after 1-2 iterations; only
     # border-exiting rays march further
     CHUNK = 128
-    node_ids = np.arange(1, n + 1, dtype=np.int16)
+    node_ids = np.arange(1, n + 1, dtype=labels.dtype)
     cx = centers[:, 0]
     cy = centers[:, 1]
     t_all = np.arange(T, dtype=np.float64)
@@ -190,34 +198,66 @@ def visibility_edges(
     )
     seg_id = np.repeat(np.arange(S), seg_W)
 
-    # ---- phase A: all own windows in one (n, M) batch ----
-    xs = np.rint(cx[:, None] + off_x[None, :]).astype(np.int64)
-    ys = np.rint(cy[:, None] + off_y[None, :]).astype(np.int64)
-    inside = (xs >= 0) & (xs < img_w) & (ys >= 0) & (ys < img_h)
-    vals = np.zeros((n, M), dtype=np.int16)
-    vals[inside] = flat_labels[ys[inside] * stride + xs[inside]]
-
-    own = vals == node_ids[:, None]
-    has_own = np.logical_or.reduceat(own, starts, axis=1)  # (n, S)
-    own_t = np.where(own, t_loc[None, :], -1)
-    last_own = np.where(
-        has_own, np.maximum.reduceat(own_t, starts, axis=1), 0
-    )
-    after = t_loc[None, :] > last_own[:, seg_id]
-    cand = after & inside & (vals > 0) & ~own
+    # ---- phase A: all own windows, node-chunked (c, M) batches ----
+    # int32 coordinates/steps (not int64): phase A is memory-bandwidth
+    # bound at 16+ concurrent workers, so narrower temporaries directly
+    # buy multi-worker scaling; flat plane indices fit int32 for any
+    # plane smaller than 2^31 px (guarded). The node-axis chunking
+    # bounds peak temporaries when a full-page bbox drives the
+    # own-window sum M toward 38·diag (the r2-advice OOM cliff) — for
+    # realistic pages n·M ≪ the budget and there is exactly one chunk.
     BIG = T + 1
-    cand_t = np.where(cand, t_loc[None, :], BIG)
-    first_hit = np.minimum.reduceat(cand_t, starts, axis=1)  # (n, S)
+    idx_dtype = np.int32 if stride * max(img_h, 1) < 2**31 else np.int64
+    t_loc32 = t_loc.astype(np.int32)
+    ends = starts + seg_W - 1
+    has_own = np.empty((n, S), dtype=bool)
+    last_own = np.empty((n, S), dtype=np.int64)
+    first_hit = np.empty((n, S), dtype=np.int64)
+    hit_nbr = np.empty((n, S), dtype=np.int64)
+    inside_ends = np.empty((n, S), dtype=bool)
+
+    ch = max(1, min(n, int(16_000_000 // max(M, 1))))
+    for c0 in range(0, n, ch):
+        sl = slice(c0, min(n, c0 + ch))
+        fx = cx[sl, None] + off_x[None, :]
+        np.rint(fx, out=fx)
+        xs = fx.astype(idx_dtype)
+        fy = cy[sl, None] + off_y[None, :]
+        np.rint(fy, out=fy)
+        ys = fy.astype(idx_dtype)
+        del fx, fy
+        # unsigned view: one compare per axis (negatives wrap to huge)
+        u = np.uint32 if idx_dtype == np.int32 else np.uint64
+        inside = (xs.view(u) < img_w) & (ys.view(u) < img_h)
+        ys *= stride
+        ys += xs  # in-place flat index
+        vals = np.zeros(xs.shape, dtype=labels.dtype)
+        vals[inside] = flat_labels[ys[inside]]
+        del xs, ys
+        own = vals == node_ids[sl, None]
+        ho = np.logical_or.reduceat(own, starts, axis=1)  # (c, S)
+        own_t = np.where(own, t_loc32[None, :], -1)
+        lo_t = np.where(ho, np.maximum.reduceat(own_t, starts, axis=1), 0)
+        after = t_loc32[None, :] > lo_t[:, seg_id]
+        cand = after & inside & (vals > 0) & ~own
+        cand_t = np.where(cand, t_loc32[None, :], BIG)
+        fh = np.minimum.reduceat(cand_t, starts, axis=1)  # (c, S)
+        cols = starts[None, :] + np.where(fh < BIG, fh, 0)
+        has_own[sl] = ho
+        last_own[sl] = lo_t
+        first_hit[sl] = fh
+        hit_nbr[sl] = (
+            np.take_along_axis(vals, cols, axis=1).astype(np.int64) - 1
+        )
+        inside_ends[sl] = inside[:, ends]
+
     has_hit = first_hit < BIG
-    cols = starts[None, :] + np.where(has_hit, first_hit, 0)
-    hit_nbr = np.take_along_axis(vals, cols, axis=1).astype(np.int64) - 1
     hit_t = np.where(has_hit, first_hit, 0)
     found = has_own & has_hit
 
     # rays still needing a hit, and still inside the image at the
     # window's last step (a ray that left the convex image never returns)
-    ends = starts + seg_W - 1
-    alive = has_own & ~has_hit & inside[:, ends]
+    alive = has_own & ~has_hit & inside_ends
 
     # ---- phase B: one chunked march over ALL alive (node, segment) rays ----
     pi, ps = np.nonzero(alive)
@@ -309,7 +349,7 @@ def visibility_edges(
                 & (bys >= 0)
                 & (bys < img_h)
             )
-            cvals = np.zeros(bxs.shape, dtype=np.int16)
+            cvals = np.zeros(bxs.shape, dtype=labels.dtype)
             cvals[cin] = flat_labels[bys[cin] * stride + bxs[cin]]
             # own impossible here (t > own window) and t > last_own:
             # first in-bounds non-zero pixel is the hit

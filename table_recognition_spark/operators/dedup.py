@@ -280,22 +280,41 @@ def dedup_simhash_sql() -> str:
     """
 
 
+JACCARD_DF_CAP = 64
+
+
 def dedup_jaccard_ngram(spark, sf_dir):
     """n-gram (3-token shingle) Jaccard near-dup pairs via
     distinct-shingle self-join (explode → shuffle on shingle → pair
     counts); threshold 4/5 integer cross-multiplied: 5·|∩| ≥ 4·|∪|.
     Shingles (not unigrams) keep the join key selective: on a
     low-entropy corpus every unigram is near-universal and the self-join
-    would go quadratic, while 3-gram document frequency stays bounded."""
+    would go quadratic, while 3-gram document frequency stays bounded.
+
+    Defense in depth: shingles whose document frequency exceeds
+    ``JACCARD_DF_CAP`` are dropped BEFORE the self-join (standard
+    near-dup practice) — an adversarial corpus with one near-universal
+    shingle would otherwise make the key fan-out quadratic in corpus
+    size. Jaccard is computed consistently over the capped shingle
+    universe (sizes and intersections both exclude capped tokens); the
+    cap is far above this corpus's max df (10 at sf0.01), so it only
+    binds on adversarial input (pinned by tests/test_dedup_cap.py)."""
     docs = _with_planted_dups(load(spark, sf_dir, "documents"))
     tok = _shingle_df(docs).select(
         "doc_id", F.explode("shingles").alias("token")
+    )
+    rare = tok.join(
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= JACCARD_DF_CAP)
+        .select("token"),
+        "token",
     ).cache()  # feeds sizes + both sides of the pair join
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
     pairs = (
-        tok.alias("a")
+        rare.alias("a")
         .join(
-            tok.alias("b"),
+            rare.alias("b"),
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -327,10 +346,15 @@ def dedup_jaccard_ngram_sql() -> str:
     WITH tok AS (
       SELECT doc_id, unnest(list_distinct({sh})) AS token FROM {_PLANTED_SQL}
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    keep AS (
+      SELECT token FROM tok GROUP BY token
+      HAVING count(*) <= {JACCARD_DF_CAP}
+    ),
+    rare AS (SELECT tok.doc_id, tok.token FROM tok JOIN keep USING (token)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      FROM rare a JOIN rare b ON a.token = b.token AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_common, sa.n + sb.n - n_common AS n_union
@@ -340,57 +364,103 @@ def dedup_jaccard_ngram_sql() -> str:
     """
 
 
-def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs, sign-LSH bucketed: candidates are pairs
-    sharing the 8-bit sign pattern of their first 8 components (near-dups
-    have near-identical components, so they collide; random pairs land in
-    one of 256 buckets → the candidate join is bucket-partitioned and
-    sub-quadratic, the 100-TB shape). Verification is exact integer
-    cosine: quantize components to int (round(x·1000)), then cosine ≥ 0.4
-    becomes dot > 0 AND 25·dot² ≥ 4·‖a‖²·‖b‖². Scoring is the
-    Arrow-vectorized numpy dot (similarity._dot_pandas), exactly equal to
-    the SQL oracle's integer dot.
+N_EMB_BANDS = 2  # OR-amplified sign-LSH tables (bands)
 
-    Round 1 joined all pairs within ``label`` — O(n²/labels) at scale and
-    the slowest bench query (23.9 s); this replaces that plan."""
-    from .similarity import _bucket_expr, _dot_pandas
+
+def _emb_quantized(spark, sf_dir):
+    """(vec_id, label, qv, norm2, bkt0..bkt{B-1}): integer-quantized
+    vectors plus one independent 8-bit sign-LSH bucket per band (band b
+    hashes components 8b+1..8b+8)."""
+    from .similarity import _bucket_expr
 
     emb = load(spark, sf_dir, "embeddings")
-    q = (
-        emb.select(
-            "vec_id",
-            "label",
-            _bucket_expr(F.col("embedding")).alias("bucket"),
-            # cast float→double BEFORE arithmetic so both engines round
-            # the same double (float math could differ at half-way points)
-            F.transform(
-                "embedding",
-                lambda x: F.round(x.cast("double") * 1000, 0).cast("long"),
-            ).alias("qv"),
-        )
-        .withColumn(
-            "norm2",
-            F.aggregate(
-                "qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x
-            ),
-        )
+    return emb.select(
+        "vec_id",
+        "label",
+        # cast float→double BEFORE arithmetic so both engines round
+        # the same double (float math could differ at half-way points)
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000, 0).cast("long"),
+        ).alias("qv"),
+        *[
+            _bucket_expr(F.col("embedding"), offset=8 * b).alias(f"bkt{b}")
+            for b in range(N_EMB_BANDS)
+        ],
+    ).withColumn(
+        "norm2",
+        F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
     )
+
+
+def _emb_candidates(q):
+    """Banded candidate pairs (id_a < id_b): pairs sharing ANY band's
+    bucket. OR-amplification bounds the single-table recall hole the
+    round-2 version had (a true near-dup with one sign flip in dims 1-8
+    was never a candidate); with 2 independent bands the miss
+    probability is squared. Shape per band: explode → co-partitioned
+    equi-join on (band, bucket) — still sub-quadratic, still the 100-TB
+    shape."""
+    bands = q.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"bkt{b}").alias("bucket"),
+                    )
+                    for b in range(N_EMB_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs, multi-band sign-LSH bucketed: candidates
+    are pairs sharing an 8-bit sign pattern in EITHER of two independent
+    component windows (near-identical vectors collide in both; random
+    pairs land in one of 256 buckets per band → the candidate join stays
+    bucket-partitioned and sub-quadratic, the 100-TB shape, while the
+    second band closes most of the single-table recall hole —
+    measured by ``dedup_embedding_recall``). Verification is exact
+    integer cosine: quantize components to int (round(x·1000)), then
+    cosine ≥ 0.4 becomes dot > 0 AND 25·dot² ≥ 4·‖a‖²·‖b‖². Scoring is
+    the Arrow-vectorized numpy dot (similarity._dot_pandas), exactly
+    equal to the SQL oracle's integer dot."""
+    from .similarity import _dot_pandas
+
+    q = _emb_quantized(spark, sf_dir).cache()
+    cand = _emb_candidates(q)
     a = q.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("label"),
-        F.col("bucket").alias("bkt"),
         F.col("qv").alias("qa"),
         F.col("norm2").alias("na"),
     )
     b = q.select(
         F.col("vec_id").alias("id_b"),
-        F.col("bucket").alias("bkt"),
         F.col("qv").alias("qb"),
         F.col("norm2").alias("nb"),
     )
-    joined = a.join(b, "bkt").filter(F.col("id_a") < F.col("id_b"))
     return (
-        joined.withColumn("dot", _dot_pandas("qa", "qb"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("dot", _dot_pandas("qa", "qb"))
         .filter(
             (F.col("dot") > 0)
             & (F.col("dot") * F.col("dot") * 25 >= F.col("na") * F.col("nb") * 4)
@@ -399,98 +469,247 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
-def dedup_embedding_cosine_sql() -> str:
-    bucket = (
-        "list_sum(list_transform(range(1, 9), j -> CASE WHEN "
-        "embedding[j] > 0.0 THEN (1 << (j - 1)) ELSE 0 END))"
+def _emb_bucket_sql(b: int) -> str:
+    return (
+        f"list_sum(list_transform(range({8 * b + 1}, {8 * b + 9}), "
+        f"j -> CASE WHEN embedding[j] > 0.0 THEN (1 << (j - 1 - {8 * b})) "
+        "ELSE 0 END))"
+    )
+
+
+def _emb_base_sql() -> str:
+    bkts = ", ".join(
+        f"{_emb_bucket_sql(b)} AS bkt{b}" for b in range(N_EMB_BANDS)
+    )
+    band_union = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {b} AS band, bkt{b} AS bucket FROM n"
+        for b in range(N_EMB_BANDS)
     )
     return f"""
-    WITH q AS (
-      SELECT vec_id, label, {bucket} AS bucket,
+    q AS (
+      SELECT vec_id, label, {bkts},
              list_transform(embedding, x -> cast(round(x::DOUBLE*1000) AS bigint)) AS qv
       FROM embeddings
     ),
     n AS (
-      SELECT vec_id, label, bucket, qv,
-             list_sum(list_transform(qv, x -> x * x)) AS norm2
-      FROM q
-    )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_dot_product(a.qv, b.qv)::bigint AS dot,
-           a.label AS label
-    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.qv, b.qv)::bigint > 0
-      AND list_dot_product(a.qv, b.qv)::bigint
-          * list_dot_product(a.qv, b.qv)::bigint * 25
-          >= a.norm2 * b.norm2 * 4
+      SELECT *, list_sum(list_transform(qv, x -> x * x)) AS norm2 FROM q
+    ),
+    bands AS (
+      {band_union}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )"""
+
+
+def dedup_embedding_cosine_sql() -> str:
+    return f"""
+    WITH {_emb_base_sql()}
+    SELECT id_a, id_b,
+           list_dot_product(x.qv, y.qv)::bigint AS dot,
+           x.label AS label
+    FROM cand JOIN n x ON cand.id_a = x.vec_id
+              JOIN n y ON cand.id_b = y.vec_id
+    WHERE list_dot_product(x.qv, y.qv)::bigint > 0
+      AND list_dot_product(x.qv, y.qv)::bigint
+          * list_dot_product(x.qv, y.qv)::bigint * 25
+          >= x.norm2 * y.norm2 * 4
     """
 
 
-def dedup_groups_cc(spark, sf_dir):
-    """Duplicate GROUPS from near-dup pairs: connected components by
-    iterative min-label propagation, the step that turns pairwise
-    detection into an actual keep-one-per-cluster dedup decision.
+def dedup_embedding_recall(spark, sf_dir):
+    """Candidate-generation recall of the banded LSH dedup against the
+    EXACT all-pairs near-dup set (integer cosine ≥ 0.4) — the
+    measurement round 2 lacked: its oracle bucketed identically, so the
+    gate was structurally blind to LSH misses. Here the ground truth is
+    bucketing-free (brute-force all pairs at fixture scale; a production
+    run samples), so any pair the bands miss shows up as n_caught <
+    n_true. Output: one row (n_true, n_caught)."""
+    from .similarity import _dot_pandas
 
-    Each iteration is one hash-shuffle join (neighbor-min) + an eager
-    ``localCheckpoint`` that truncates lineage so the loop's plan depth
-    stays O(1); iterations ≤ graph diameter (near-dup clusters are
-    shallow — dup chains of depth d converge in d rounds). At 100 TB the
-    same loop runs with reliable ``checkpoint()`` to HDFS/S3 instead of
-    local blocks; for adversarial long-chain graphs swap the propagation
-    body for large-star/small-star (O(log n) rounds) — the surrounding
-    fixpoint driver is identical. Oracle: DuckDB recursive-CTE transitive
-    closure over the same pair set."""
-    # materialize the pair set ONCE before mirroring: the union would
-    # otherwise evaluate the (expensive) jaccard subplan twice, and the
-    # edges are reused every iteration anyway
+    q = _emb_quantized(spark, sf_dir).cache()
+    a = q.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("qv").alias("qa"),
+        F.col("norm2").alias("na"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("qv").alias("qb"),
+        F.col("norm2").alias("nb"),
+    )
+    true_pairs = (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", _dot_pandas("qa", "qb"))
+        .filter(
+            (F.col("dot") > 0)
+            & (F.col("dot") * F.col("dot") * 25 >= F.col("na") * F.col("nb") * 4)
+        )
+        .select("id_a", "id_b")
+    )
+    cand = _emb_candidates(q)
+    caught = true_pairs.join(cand, ["id_a", "id_b"], "left_semi")
+    return true_pairs.agg(F.count("*").alias("n_true")).crossJoin(
+        caught.agg(F.count("*").alias("n_caught"))
+    )
+
+
+def dedup_embedding_recall_sql() -> str:
+    return f"""
+    WITH {_emb_base_sql()},
+    true_pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM n x JOIN n y ON x.vec_id < y.vec_id
+      WHERE list_dot_product(x.qv, y.qv)::bigint > 0
+        AND list_dot_product(x.qv, y.qv)::bigint
+            * list_dot_product(x.qv, y.qv)::bigint * 25
+            >= x.norm2 * y.norm2 * 4
+    )
+    SELECT (SELECT count(*) FROM true_pairs) AS n_true,
+           (SELECT count(*) FROM true_pairs t
+            WHERE EXISTS (SELECT 1 FROM cand c
+                          WHERE c.id_a = t.id_a AND c.id_b = t.id_b)
+           ) AS n_caught
+    """
+
+
+def _local_cc_mapping(edges_df):
+    """Partition-local union-find contraction (Arrow-batched
+    ``mapInPandas``): edge batch (u, v) → mapping rows (label, root)
+    with root = min of the label's batch-local component, emitted only
+    where root < label. Each batch contracts independently — any edge
+    subset yields a valid (partial) contraction, so batch/partition
+    boundaries only affect how many global rounds the fixpoint needs,
+    never correctness."""
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for u, v in zip(pdf["u"], pdf["v"]):
+                u, v = int(u), int(v)
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+            out = [(x, find(x)) for x in parent]
+            out = [(x, r) for x, r in out if r != x]
+            if out:
+                yield pd.DataFrame(out, columns=["label", "root"])
+
+    return edges_df.mapInPandas(fn, "label long, root long")
+
+
+def dedup_groups_cc(spark, sf_dir):
+    """Duplicate GROUPS from near-dup pairs: connected components, the
+    step that turns pairwise detection into an actual
+    keep-one-per-cluster dedup decision.
+
+    Algorithm: iterated LOCAL CONTRACTION (the two-level scheme
+    GraphFrames/Grape-style systems use) —
+
+    1. translate edge endpoints through the current label table
+       (two hash joins), keep cross-label edges (min, max);
+    2. partition by the min endpoint and contract each partition with
+       an in-memory union-find (one Arrow batch pass, no per-row
+       Python boundary) → a (label → smaller root) mapping;
+    3. apply the mapping to the label table; repeat until no
+       cross-label edge remains.
+
+    A whole component colocated in one partition collapses in a single
+    round (vs O(diameter) rounds for plain min-label propagation, which
+    made this the suite's slowest query in round 2 at 25 s); labels
+    decrease monotonically toward the component min, so the fixpoint is
+    exact. Components spanning partitions converge in O(log n) rounds —
+    each round at least halves the number of live labels per component.
+    Convergence detection is the emptiness of the (already
+    materialized) mapping — no extra join+count job per round.
+    ``localCheckpoint`` truncates lineage each round (reliable
+    ``checkpoint()`` to HDFS/S3 at cluster scale). Oracle: DuckDB
+    recursive-CTE transitive closure over the same pair set."""
+    # materialize the pair set ONCE: it feeds the vertex set and every
+    # round's translation join
     pairs = (
         dedup_jaccard_ngram(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
-    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
+    P = spark.sparkContext.defaultParallelism
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
         .distinct()
         .withColumn("group_id", F.col("doc_id"))
         .localCheckpoint()
     )
-    # near-dup components are shallow (dup chains of depth d converge in
-    # d rounds); the cap is a runaway guard, not a correctness bound
-    for _ in range(30):
-        nbr = (
-            edges.join(
+    for _round in range(50):
+        e = (
+            pairs.join(
                 labels.select(
-                    F.col("doc_id").alias("dst"),
-                    F.col("group_id").alias("dst_group"),
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("group_id").alias("ga"),
                 ),
-                "dst",
+                "doc_a",
             )
-            .groupBy("src")
-            .agg(F.min("dst_group").alias("nbr_min"))
+            .join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("group_id").alias("gb"),
+                ),
+                "doc_b",
+            )
+            .select(
+                F.least("ga", "gb").alias("u"),
+                F.greatest("ga", "gb").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .repartition(P, "u")
         )
-        new_labels = (
+        # a label seen in several partitions yields several mapping rows
+        # — reconcile to the smallest root (the next round reconverges)
+        mapping = (
+            _local_cc_mapping(e)
+            .groupBy("label")
+            .agg(F.min("root").alias("root"))
+            .localCheckpoint()
+        )
+        if mapping.isEmpty():
+            break
+        labels = (
             labels.join(
-                nbr.withColumnRenamed("src", "doc_id"), "doc_id", "left"
+                mapping, labels["group_id"] == mapping["label"], "left"
             )
             .select(
                 "doc_id",
-                F.least(
-                    F.col("group_id"),
-                    F.coalesce("nbr_min", F.col("group_id")),
-                ).alias("group_id"),
+                F.coalesce("root", "group_id").alias("group_id"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.group_id") != F.col("o.group_id"))
-            .count()
+    else:  # pragma: no cover — progress is guaranteed each round
+        raise RuntimeError(
+            "dedup_groups_cc did not converge within 50 rounds"
         )
-        labels = new_labels
-        if changed == 0:
-            break
     return labels.orderBy("doc_id")
 
 
@@ -520,6 +739,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_jaccard_ngram": dedup_jaccard_ngram,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_recall": dedup_embedding_recall,
     "dedup_groups_cc": dedup_groups_cc,
 }
 
@@ -529,5 +749,6 @@ ORACLES = {
     "dedup_simhash": dedup_simhash_sql(),
     "dedup_jaccard_ngram": dedup_jaccard_ngram_sql(),
     "dedup_embedding_cosine": dedup_embedding_cosine_sql(),
+    "dedup_embedding_recall": dedup_embedding_recall_sql(),
     "dedup_groups_cc": dedup_groups_cc_sql(),
 }

@@ -25,7 +25,7 @@ TOP_K = 10
 LSH_BITS = 8
 
 
-_DOT_PANDAS = None
+_DOT_CACHE: dict = {"sess": None, "udf": None}
 
 
 def _dot_pandas(a, b):
@@ -37,9 +37,13 @@ def _dot_pandas(a, b):
     version cost ~1 ms/pair (10.6 s for 10k pairs in the round-1 bench).
     ``_dot`` is retained as the oracle-matching baseline; equality is
     pinned by tests/test_queries_duckdb.py. (The udf object is built
-    lazily: the decorator needs an active SparkSession.)"""
-    global _DOT_PANDAS
-    if _DOT_PANDAS is None:
+    lazily per SparkSession: the decorator binds a JVM-side _judf, so a
+    module-level singleton would hold a dead py4j gateway after
+    bench.py's kill-JVM-between-phases pattern.)"""
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    if _DOT_CACHE["udf"] is None or _DOT_CACHE["sess"] is not sess:
 
         @F.pandas_udf("long")
         def dot_pd(x: pd.Series, y: pd.Series) -> pd.Series:
@@ -49,8 +53,9 @@ def _dot_pandas(a, b):
             B = np.stack(y.to_numpy())
             return pd.Series(np.einsum("ij,ij->i", A, B))
 
-        _DOT_PANDAS = dot_pd
-    return _DOT_PANDAS(a, b)
+        _DOT_CACHE["sess"] = sess
+        _DOT_CACHE["udf"] = dot_pd
+    return _DOT_CACHE["udf"](a, b)
 
 
 def _quantized(emb):
@@ -120,12 +125,16 @@ def sim_bruteforce_topk_sql() -> str:
     """
 
 
-def _bucket_expr(col):
-    """Sign-LSH bucket: Σ_{j<8} 2^j · (embedding[j] > 0). Pure float
-    comparisons — no arithmetic on floats, so exact cross-engine. The bit
-    count is static, so this unrolls to a codegen-friendly sum."""
+def _bucket_expr(col, offset: int = 0):
+    """Sign-LSH bucket: Σ_{j<8} 2^j · (embedding[offset+j] > 0). Pure
+    float comparisons — no arithmetic on floats, so exact cross-engine.
+    The bit count is static, so this unrolls to a codegen-friendly sum.
+    ``offset`` selects an independent component window (an independent
+    hash table for OR-amplified banding in the dedup operator)."""
     bits = [
-        F.when(F.element_at(col, j + 1) > 0.0, F.lit(1 << j)).otherwise(0)
+        F.when(
+            F.element_at(col, offset + j + 1) > 0.0, F.lit(1 << j)
+        ).otherwise(0)
         for j in range(LSH_BITS)
     ]
     out = bits[0]
