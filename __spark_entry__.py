@@ -163,7 +163,9 @@ DATASET_SPLIT_SQL = (
 
 def _gt_repair_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GT row-range repair (reference dataset_editing/Table.py:27-41) over
-    the fixture ground-truth table, emitted flat for the driver check."""
+    the fixture ground-truth table, emitted flat for the driver check.
+    Columns cast to long to hash-match the DuckDB oracle (which reads
+    the SAME committed fixture parquet via read_parquet)."""
     from pyspark.sql import functions as F
 
     from table_recognition_spark.operators.dataset_ops import repair_gt_rows
@@ -176,15 +178,50 @@ def _gt_repair_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "media_ref",
-            "cell_idx",
+            F.col("cell_idx").cast("long").alias("cell_idx"),
             F.col("c.type").alias("cell_type"),
-            F.col("c.start_row").alias("start_row"),
-            F.col("c.end_row").alias("end_row"),
-            F.col("c.start_col").alias("start_col"),
-            F.col("c.end_col").alias("end_col"),
+            F.col("c.start_row").cast("long").alias("start_row"),
+            F.col("c.end_row").cast("long").alias("end_row"),
+            F.col("c.start_col").cast("long").alias("start_col"),
+            F.col("c.end_col").cast("long").alias("end_col"),
         )
         .orderBy("media_ref", "cell_idx")
     )
+
+
+def _gt_repair_sql() -> str:
+    """DuckDB mirror of repair_gt_rows over the committed fixture GT
+    parquet (dist/fixture_gt_n24_seed42.parquet — deterministic,
+    seed-42, 20 KB, checked in so the oracle never depends on the Spark
+    side having materialized the cache first)."""
+    p = os.path.join(_REPO, "dist", "fixture_gt_n24_seed42.parquet",
+                     "*.parquet")
+    return f"""
+    WITH g AS (
+      SELECT media_ref, cells,
+             list_max(list_transform(list_filter(cells, x -> x.type = 'header'),
+                                     x -> x.end_row)) AS hm,
+             list_min(list_transform(list_filter(cells, x -> x.type = 'data'),
+                                     x -> x.start_row)) AS dm
+      FROM read_parquet('{p}')
+    ),
+    r AS (
+      SELECT media_ref, cells,
+             (hm IS NOT NULL AND dm IS NOT NULL AND hm > dm) AS needs,
+             coalesce(hm - dm, 0) AS diff
+      FROM g
+    )
+    SELECT media_ref, CAST(i - 1 AS BIGINT) AS cell_idx,
+           cells[i].type AS cell_type,
+           CAST(cells[i].start_row + CASE WHEN needs AND cells[i].type = 'data'
+                THEN diff ELSE 0 END AS BIGINT) AS start_row,
+           CAST(cells[i].end_row + CASE WHEN needs AND cells[i].type = 'data'
+                THEN diff ELSE 0 END AS BIGINT) AS end_row,
+           CAST(cells[i].start_col AS BIGINT) AS start_col,
+           CAST(cells[i].end_col AS BIGINT) AS end_col
+    FROM r, unnest(range(1, len(cells) + 1)) t(i)
+    ORDER BY media_ref, cell_idx
+    """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -218,4 +255,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(dedup.ORACLES)
     o.update(similarity.ORACLES)
     o["dataset_split_load"] = DATASET_SPLIT_SQL
+    o["gt_repair_rows"] = _gt_repair_sql()
     return o

@@ -78,6 +78,10 @@ def fixture_media(spark: SparkSession, n_media: int = N_MEDIA) -> DataFrame:
             os.rename(os.path.join(tmp, "data"), cache)
         except OSError:
             pass
+        finally:  # never leave tmp residue (rename-loss branch included)
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(cache)
 
 
@@ -104,6 +108,10 @@ def fixture_gt(spark: SparkSession, n_media: int = N_MEDIA) -> DataFrame:
             os.rename(os.path.join(tmp, "data"), cache)
         except OSError:
             pass
+        finally:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(cache)
 
 
