@@ -51,15 +51,28 @@ EMBED_SCHEMA = T.StructType(
 
 
 # Codec registry: container magic → decoder(bytes) -> HxW uint8 array.
-# The reference dataset is JPEG (graph.py:103,174 reads .jpg); this
-# environment has no JPEG codec library, so the JPEG slot is an explicit
-# injection seam — ``register_codec(JPEG_MAGIC, cv2_or_pil_decoder)`` at
-# deployment swaps it in without touching any operator. The seam is
-# exercised by tests/test_multimodal.py with an injected fake codec.
+# The reference dataset is JPEG (graph.py:103,174 reads .jpg); both PNG
+# (our zlib-only decoder) and baseline JPEG (core/jpeg.py, pure-numpy
+# Huffman + dequant + IDCT) are built in, so the reference's actual
+# corpus is ingestible with no native codec library. The registry stays
+# an injection seam — ``register_codec(JPEG_MAGIC, cv2_decoder)`` at
+# deployment swaps in libjpeg-turbo for throughput without touching any
+# operator (exercised by tests/test_multimodal.py with an injected
+# fake codec).
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xff\xd8\xff"
 
-_CODECS: dict = {PNG_MAGIC: lambda d: png_decode_gray8(bytes(d))}
+
+def _jpeg_default(d):
+    from ..core.jpeg import jpeg_decode_gray8
+
+    return jpeg_decode_gray8(bytes(d))
+
+
+_CODECS: dict = {
+    PNG_MAGIC: lambda d: png_decode_gray8(bytes(d)),
+    JPEG_MAGIC: _jpeg_default,
+}
 
 
 def register_codec(magic: bytes, decoder) -> None:
@@ -70,18 +83,13 @@ def register_codec(magic: bytes, decoder) -> None:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Decode a binary image payload via the codec registry. PNG
-    (grayscale 8-bit, our fixture codec) is built in; JPEG raises until a
-    codec is injected with :func:`register_codec`."""
+    (grayscale 8-bit zlib) and baseline-sequential JPEG are built in
+    pure-numpy; other containers raise until a codec is injected with
+    :func:`register_codec`."""
     head = bytes(data[:8])
     for magic, dec in _CODECS.items():
         if head.startswith(magic):
             return dec(data)
-    if head.startswith(JPEG_MAGIC):
-        raise NotImplementedError(
-            "JPEG decode requires an image codec library (cv2/PIL), "
-            "not present in this environment; inject one with "
-            "register_codec(JPEG_MAGIC, decoder)."
-        )
     raise NotImplementedError(f"unknown image container: {data[:8]!r}")
 
 

@@ -1,0 +1,125 @@
+"""Pure-numpy baseline JPEG codec (core/jpeg.py).
+
+The reference's corpus is ``.jpg`` page scans
+(/root/reference/table_recognition/graph/graph.py:103,174); these tests
+pin that the engine can ingest baseline JPEG bytes with no native codec:
+
+- committed real-JPEG fixture (tests/data/fixture_table.jpg — baseline
+  interleaved 3-component 4:4:4 with restart markers, written by our own
+  encoder) decodes to a PINNED pixel array (sha256);
+- encode→decode round-trip stays close to the source raster;
+- the decoder's restart-marker and multi-component paths agree with the
+  plain single-component stream;
+- progressive JPEG (unsupported) is refused with a clear error;
+- media operators (image_stats) run end-to-end over a JPEG media table.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+from table_recognition_spark.core.jpeg import (
+    jpeg_decode_gray8,
+    jpeg_encode_gray8,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "data", "fixture_table.jpg")
+FIXTURE_SHA256 = "20d3f074324d2aace141e46377054137d24469f5ba632d0c88c92388c20eea69"
+FIXTURE_SHAPE = (612, 785)
+
+
+def _table_image():
+    from table_recognition_spark.fixtures.generate import (
+        _make_table_image,
+        png_decode_gray8,
+    )
+
+    rng = np.random.default_rng([42, 7])
+    m, _ = _make_table_image(rng, "fixture_jpeg")
+    return png_decode_gray8(m["image"])
+
+
+def test_fixture_decodes_to_pinned_pixels():
+    data = open(FIXTURE, "rb").read()
+    assert data[:3] == b"\xff\xd8\xff"
+    img = jpeg_decode_gray8(data)
+    assert img.shape == FIXTURE_SHAPE
+    assert hashlib.sha256(img.tobytes()).hexdigest() == FIXTURE_SHA256
+
+
+def test_roundtrip_close_to_source():
+    src = _table_image()
+    dec = jpeg_decode_gray8(jpeg_encode_gray8(src))
+    assert dec.shape == src.shape
+    err = np.abs(dec.astype(int) - src.astype(int))
+    assert err.mean() < 2.0  # document raster: near-lossless at Q50
+    # dark table ruling lines survive (structure, not just statistics)
+    assert (dec < 128).sum() > 0.5 * (src < 128).sum()
+
+
+def test_restart_and_multicomponent_paths_agree():
+    src = _table_image()[:96, :120]
+    base = jpeg_decode_gray8(jpeg_encode_gray8(src))
+    for kwargs in (
+        {"restart_interval": 5},
+        {"n_components": 3},
+        {"restart_interval": 3, "n_components": 3},
+    ):
+        got = jpeg_decode_gray8(jpeg_encode_gray8(src, **kwargs))
+        assert np.array_equal(got, base), kwargs
+
+
+def test_odd_dimensions():
+    rng = np.random.default_rng(3)
+    for shape in [(8, 8), (17, 23), (1, 100), (64, 63)]:
+        a = rng.integers(0, 256, shape).astype(np.uint8)
+        assert jpeg_decode_gray8(jpeg_encode_gray8(a)).shape == shape
+
+
+def test_progressive_refused():
+    p = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    if not os.path.exists(p):  # pragma: no cover
+        pytest.skip("no system progressive sample")
+    with pytest.raises(NotImplementedError, match="baseline"):
+        jpeg_decode_gray8(open(p, "rb").read())
+
+
+def test_truncated_refused():
+    src = _table_image()[:32, :32]
+    enc = jpeg_encode_gray8(src)
+    with pytest.raises((ValueError, IndexError)):
+        jpeg_decode_gray8(enc[:20])
+
+
+@pytest.mark.spark
+def test_image_stats_over_jpeg_media_table(spark):
+    """The media operators run unchanged over a JPEG media table — the
+    shape of the reference's actual dataset."""
+    import pandas as pd
+
+    from table_recognition_spark.operators.multimodal import image_stats
+
+    src = _table_image()
+    rows = []
+    for i, sl in enumerate([src[:256, :256], src[100:300, 50:350]]):
+        rows.append(
+            {
+                "media_ref": f"jpg_{i}",
+                "image": jpeg_encode_gray8(sl),
+                "width": sl.shape[1],
+                "height": sl.shape[0],
+            }
+        )
+    media_df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {r["media_ref"]: r.asDict() for r in image_stats(media_df).collect()}
+    assert len(got) == 2
+    for i, sl in enumerate([src[:256, :256], src[100:300, 50:350]]):
+        r = got[f"jpg_{i}"]
+        assert (r["width"], r["height"]) == (sl.shape[1], sl.shape[0])
+        dec = jpeg_decode_gray8(jpeg_encode_gray8(sl))
+        assert r["mean_intensity"] == float(
+            np.round(dec.mean(dtype=np.float64), 6)
+        )

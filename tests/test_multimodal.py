@@ -16,8 +16,6 @@ from table_recognition_spark.operators.multimodal import (
 
 
 def test_decode_image_stubs():
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        decode_image(b"\xff\xd8\xff\xe0rest")
     with pytest.raises(NotImplementedError):
         decode_image(b"GIF89a...")
     with pytest.raises(NotImplementedError, match="audio"):
@@ -89,10 +87,15 @@ def test_jpeg_codec_injection_seam():
     img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
     payload = fake_jpeg_encode(img)
 
-    # before injection: explicit NotImplementedError naming the seam
-    with pytest.raises(NotImplementedError, match="register_codec"):
-        mm.decode_image(payload)
+    # before injection: the built-in pure-numpy baseline codec handles
+    # real JPEG bytes (the fake payload is not a valid stream)
+    from table_recognition_spark.core.jpeg import jpeg_encode_gray8
 
+    real = jpeg_encode_gray8(img)
+    assert mm.decode_image(real).shape == img.shape
+
+    # injection OVERRIDES the built-in (the libjpeg-turbo swap point)
+    builtin = mm._CODECS[mm.JPEG_MAGIC]
     mm.register_codec(mm.JPEG_MAGIC, fake_jpeg_decode)
     try:
         out = mm.decode_image(payload)
@@ -102,4 +105,5 @@ def test_jpeg_codec_injection_seam():
 
         assert np.array_equal(mm.decode_image(png_encode(img)), img)
     finally:
-        del mm._CODECS[mm.JPEG_MAGIC]
+        mm._CODECS[mm.JPEG_MAGIC] = builtin
+    assert mm.decode_image(real).shape == img.shape
