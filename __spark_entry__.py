@@ -120,19 +120,19 @@ def _extract_from_pagexml(spark: SparkSession, sf_dir: str) -> DataFrame:
         interleaved_docs,
     )
     from table_recognition_spark.sources.pagexml import (
-        parse_page_xml_col,
+        parse_page_xml_table,
         serialize_page_xml_col,
     )
 
-    media = fixture_media(spark)
+    # tiny fixture table: size partitions to the data (24 rows across 32
+    # near-empty tasks would just churn python workers in the two extra
+    # UDF stages this round-trip adds)
+    media = fixture_media(spark).coalesce(4)
     xml_media = media.select(
         "media_ref", "width", "height",
         serialize_page_xml_col(F.col("ocr_lines")).alias("page_xml"),
     )
-    parsed = xml_media.select(
-        "media_ref", "width", "height",
-        parse_page_xml_col(F.col("page_xml")).alias("ocr_lines"),
-    )
+    parsed = parse_page_xml_table(xml_media, "page_xml", "ocr_lines")
     return extract_flat(interleaved_docs(spark, sf_dir), parsed, _weights())
 
 

@@ -24,6 +24,8 @@ documents table has none): every 7th doc is unioned verbatim with a
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from .common import NORM_SQL, load, norm_text, tokens, tokens_sql
@@ -364,57 +366,149 @@ def dedup_jaccard_ngram_sql() -> str:
     """
 
 
-N_EMB_BANDS = 2  # OR-amplified sign-LSH tables (bands)
+# --- embedding near-dup: SRP-LSH (random-hyperplane signatures) -------
+#
+# Design note (round-3 redesign). Round 2 bucketed by the sign pattern
+# of the first 8 raw components with a cosine ≥ 0.4 verify. Measuring
+# candidate recall against the bucketing-free all-pairs truth exposed
+# two problems: (a) the testdata embeddings contain NO true near-dups —
+# every pair above 0.4 is a random cross-label coincidence (59 pairs at
+# sf0.01, only 5 same-label, none above cosine 0.6), which no
+# sub-quadratic candidate scheme can find because they are not
+# clustered; (b) 0.4 is not a duplicate threshold at all. The operator
+# now matches production near-dup practice (SemDeDup-style):
+#
+# - the corpus plants deterministic near-dups (every 7th vector copied
+#   verbatim, every 11th re-scaled per-component by 1 ± 0.15 → cosine
+#   ≈ 0.989), mirroring the text dedup operators' planted corpus;
+# - threshold cosine ≥ 0.95, integer-exact: dot > 0 ∧ 400·dot² ≥
+#   361·‖a‖²·‖b‖²;
+# - candidates via SRP-LSH: EMB_BANDS=8 independent bands, each the
+#   16-bit sign pattern of random ±1 hyperplanes applied to the
+#   quantized vector (pure int arithmetic → bit-identical across
+#   engines; the hyperplane matrix is a fixed seeded constant inlined
+#   into both plans). A random pair collides in a band with p ≈ 2⁻¹⁶;
+#   a planted near-dup (θ ≈ 0.15 rad, per-bit agreement ≈ 0.953)
+#   collides with p ≈ 0.46 per band → miss probability (1-p)⁸ ≈ 0.007.
+#   ``dedup_embedding_recall`` measures exactly this against the
+#   brute-force truth.
+
+EMB_BANDS = 8
+EMB_BITS = 16
+EMB_DIM = 64
+
+
+def _srp_planes():
+    rng = np.random.default_rng(20240814)
+    return rng.choice(
+        np.array([-1, 1], dtype=np.int64), (EMB_BANDS * EMB_BITS, EMB_DIM)
+    )
+
+
+_PLANTED_EMB_SPARK = None
+
+
+def _with_planted_emb(emb):
+    """embeddings ∪ exact copies (%7, +100000) ∪ near-dups (%11,
+    +200000, component j scaled by 1+0.15 for even j / 1-0.15 for odd —
+    cosine ≈ 0.989; pure double arithmetic, exact cross-engine)."""
+    exact = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+    )
+    near = emb.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double")
+                * F.when(i % 2 == 0, F.lit(1.15)).otherwise(F.lit(0.85))
+            ).cast("double"),
+        ).alias("embedding"),
+    )
+    return (
+        emb.select("vec_id", "label", F.transform(
+            "embedding", lambda x: x.cast("double")).alias("embedding"))
+        .unionByName(exact.select("vec_id", "label", F.transform(
+            "embedding", lambda x: x.cast("double")).alias("embedding")))
+        .unionByName(near)
+    )
+
+
+_PLANTED_EMB_SQL = """
+    (SELECT vec_id, label,
+            list_transform(embedding, x -> x::DOUBLE) AS embedding
+     FROM embeddings
+     UNION ALL
+     SELECT vec_id + 100000, label,
+            list_transform(embedding, x -> x::DOUBLE)
+     FROM embeddings WHERE vec_id % 7 = 0
+     UNION ALL
+     SELECT vec_id + 200000, label,
+            list_transform(range(1, {dim} + 1),
+              j -> embedding[j]::DOUBLE *
+                   (CASE WHEN (j - 1) % 2 = 0 THEN 1.15 ELSE 0.85 END))
+     FROM embeddings WHERE vec_id % 11 = 0)
+""".format(dim=EMB_DIM)
 
 
 def _emb_quantized(spark, sf_dir):
-    """(vec_id, label, qv, norm2, bkt0..bkt{B-1}): integer-quantized
-    vectors plus one independent 8-bit sign-LSH bucket per band (band b
-    hashes components 8b+1..8b+8)."""
-    from .similarity import _bucket_expr
-
-    emb = load(spark, sf_dir, "embeddings")
+    """(vec_id, label, qv, norm2) over the planted corpus; qv =
+    round(x·1000) as int64 (quantize AFTER planting so the near-dup
+    perturbation is shared exactly with the oracle)."""
+    emb = _with_planted_emb(load(spark, sf_dir, "embeddings"))
     return emb.select(
         "vec_id",
         "label",
-        # cast float→double BEFORE arithmetic so both engines round
-        # the same double (float math could differ at half-way points)
         F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * 1000, 0).cast("long"),
+            "embedding", lambda x: F.round(x * 1000, 0).cast("long")
         ).alias("qv"),
-        *[
-            _bucket_expr(F.col("embedding"), offset=8 * b).alias(f"bkt{b}")
-            for b in range(N_EMB_BANDS)
-        ],
     ).withColumn(
         "norm2",
         F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
     )
 
 
+_SRP_CACHE: dict = {"sess": None, "udf": None}
+
+
+def _srp_buckets_pandas(qv_col):
+    """array<long> of EMB_BANDS bucket values per row: one numpy matmul
+    per Arrow batch against the fixed ±1 hyperplane matrix, bits packed
+    per 16-plane band. Integer arithmetic end to end. (UDF cached per
+    SparkSession — see similarity._dot_pandas for why.)"""
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    if _SRP_CACHE["udf"] is None or _SRP_CACHE["sess"] is not sess:
+        planes = _srp_planes()
+        weights = 1 << np.arange(EMB_BITS, dtype=np.int64)
+
+        @F.pandas_udf("array<long>")
+        def srp(qv: pd.Series) -> pd.Series:
+            if len(qv) == 0:
+                return pd.Series([], dtype=object)
+            Q = np.stack(qv.to_numpy())  # (n, dim) int64
+            bits = (Q @ planes.T) > 0  # (n, bands*bits)
+            b = bits.reshape(len(Q), EMB_BANDS, EMB_BITS)
+            buckets = (b * weights[None, None, :]).sum(axis=2)
+            return pd.Series(list(buckets))
+
+        _SRP_CACHE["sess"] = sess
+        _SRP_CACHE["udf"] = srp
+    return _SRP_CACHE["udf"](qv_col)
+
+
 def _emb_candidates(q):
-    """Banded candidate pairs (id_a < id_b): pairs sharing ANY band's
-    bucket. OR-amplification bounds the single-table recall hole the
-    round-2 version had (a true near-dup with one sign flip in dims 1-8
-    was never a candidate); with 2 independent bands the miss
-    probability is squared. Shape per band: explode → co-partitioned
-    equi-join on (band, bucket) — still sub-quadratic, still the 100-TB
-    shape."""
+    """SRP-LSH banded candidate pairs (id_a < id_b): explode the
+    per-band buckets → co-partitioned equi-join on (band, bucket) →
+    distinct. Sub-quadratic: random pairs collide with ~8·2⁻¹⁶."""
     bands = q.select(
         "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.col(f"bkt{b}").alias("bucket"),
-                    )
-                    for b in range(N_EMB_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bucket")
+        F.posexplode(_srp_buckets_pandas(F.col("qv"))).alias(
+            "band", "bucket"
+        ),
+    )
     return (
         bands.alias("a")
         .join(
@@ -430,18 +524,15 @@ def _emb_candidates(q):
     )
 
 
+_COS_T = (400, 361)  # cosine ≥ 0.95 ⇔ dot>0 ∧ 400·dot² ≥ 361·na·nb
+
+
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs, multi-band sign-LSH bucketed: candidates
-    are pairs sharing an 8-bit sign pattern in EITHER of two independent
-    component windows (near-identical vectors collide in both; random
-    pairs land in one of 256 buckets per band → the candidate join stays
-    bucket-partitioned and sub-quadratic, the 100-TB shape, while the
-    second band closes most of the single-table recall hole —
-    measured by ``dedup_embedding_recall``). Verification is exact
-    integer cosine: quantize components to int (round(x·1000)), then
-    cosine ≥ 0.4 becomes dot > 0 AND 25·dot² ≥ 4·‖a‖²·‖b‖². Scoring is
-    the Arrow-vectorized numpy dot (similarity._dot_pandas), exactly
-    equal to the SQL oracle's integer dot."""
+    """Embedding near-dup pairs over the planted corpus: SRP-LSH banded
+    candidates (see module design note) verified by exact integer
+    cosine ≥ 0.95. Scoring is the Arrow-vectorized numpy dot
+    (similarity._dot_pandas), exactly equal to the SQL oracle's
+    integer dot."""
     from .similarity import _dot_pandas
 
     q = _emb_quantized(spark, sf_dir).cache()
@@ -457,39 +548,48 @@ def dedup_embedding_cosine(spark, sf_dir):
         F.col("qv").alias("qb"),
         F.col("norm2").alias("nb"),
     )
+    tn, td = _COS_T
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("dot", _dot_pandas("qa", "qb"))
         .filter(
             (F.col("dot") > 0)
-            & (F.col("dot") * F.col("dot") * 25 >= F.col("na") * F.col("nb") * 4)
+            & (
+                F.col("dot") * F.col("dot") * tn
+                >= F.col("na") * F.col("nb") * td
+            )
         )
         .select("id_a", "id_b", "dot", "label")
     )
 
 
-def _emb_bucket_sql(b: int) -> str:
-    return (
-        f"list_sum(list_transform(range({8 * b + 1}, {8 * b + 9}), "
-        f"j -> CASE WHEN embedding[j] > 0.0 THEN (1 << (j - 1 - {8 * b})) "
-        "ELSE 0 END))"
-    )
+def _srp_band_sql(band: int, planes) -> str:
+    """SQL for one band's bucket: Σ_k 2^k·(dot(qv, plane_{band,k}) > 0)
+    with the plane rows inlined as integer list literals."""
+    terms = []
+    for k in range(EMB_BITS):
+        row = planes[band * EMB_BITS + k]
+        lit = "[" + ", ".join(str(int(v)) for v in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(qv, {lit}) > 0 "
+            f"THEN {1 << k} ELSE 0 END)"
+        )
+    return " + ".join(terms)
 
 
 def _emb_base_sql() -> str:
-    bkts = ", ".join(
-        f"{_emb_bucket_sql(b)} AS bkt{b}" for b in range(N_EMB_BANDS)
-    )
+    planes = _srp_planes()
     band_union = "\n      UNION ALL\n      ".join(
-        f"SELECT vec_id, {b} AS band, bkt{b} AS bucket FROM n"
-        for b in range(N_EMB_BANDS)
+        f"SELECT vec_id, {b} AS band, ({_srp_band_sql(b, planes)})::BIGINT"
+        " AS bucket FROM n"
+        for b in range(EMB_BANDS)
     )
     return f"""
     q AS (
-      SELECT vec_id, label, {bkts},
-             list_transform(embedding, x -> cast(round(x::DOUBLE*1000) AS bigint)) AS qv
-      FROM embeddings
+      SELECT vec_id, label,
+             list_transform(embedding, x -> cast(round(x*1000) AS bigint)) AS qv
+      FROM {_PLANTED_EMB_SQL}
     ),
     n AS (
       SELECT *, list_sum(list_transform(qv, x -> x * x)) AS norm2 FROM q
@@ -505,6 +605,7 @@ def _emb_base_sql() -> str:
 
 
 def dedup_embedding_cosine_sql() -> str:
+    tn, td = _COS_T
     return f"""
     WITH {_emb_base_sql()}
     SELECT id_a, id_b,
@@ -514,19 +615,20 @@ def dedup_embedding_cosine_sql() -> str:
               JOIN n y ON cand.id_b = y.vec_id
     WHERE list_dot_product(x.qv, y.qv)::bigint > 0
       AND list_dot_product(x.qv, y.qv)::bigint
-          * list_dot_product(x.qv, y.qv)::bigint * 25
-          >= x.norm2 * y.norm2 * 4
+          * list_dot_product(x.qv, y.qv)::bigint * {tn}
+          >= x.norm2 * y.norm2 * {td}
     """
 
 
 def dedup_embedding_recall(spark, sf_dir):
-    """Candidate-generation recall of the banded LSH dedup against the
-    EXACT all-pairs near-dup set (integer cosine ≥ 0.4) — the
-    measurement round 2 lacked: its oracle bucketed identically, so the
-    gate was structurally blind to LSH misses. Here the ground truth is
-    bucketing-free (brute-force all pairs at fixture scale; a production
-    run samples), so any pair the bands miss shows up as n_caught <
-    n_true. Output: one row (n_true, n_caught)."""
+    """Candidate-generation recall of the SRP-LSH bands against the
+    EXACT all-pairs near-dup truth (integer cosine ≥ 0.95, no
+    bucketing) — the measurement round 2 lacked: its oracle bucketed
+    identically, so the gate was structurally blind to LSH misses. Any
+    pair the bands miss shows up as n_caught < n_true (expected miss
+    rate ≈ 0.7% on the planted perturbation; exact copies are never
+    missed). Brute force at fixture scale; a production run samples.
+    Output: one row (n_true, n_caught)."""
     from .similarity import _dot_pandas
 
     q = _emb_quantized(spark, sf_dir).cache()
@@ -540,13 +642,17 @@ def dedup_embedding_recall(spark, sf_dir):
         F.col("qv").alias("qb"),
         F.col("norm2").alias("nb"),
     )
+    tn, td = _COS_T
     true_pairs = (
         F.broadcast(a)
         .join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("dot", _dot_pandas("qa", "qb"))
         .filter(
             (F.col("dot") > 0)
-            & (F.col("dot") * F.col("dot") * 25 >= F.col("na") * F.col("nb") * 4)
+            & (
+                F.col("dot") * F.col("dot") * tn
+                >= F.col("na") * F.col("nb") * td
+            )
         )
         .select("id_a", "id_b")
     )
@@ -558,6 +664,7 @@ def dedup_embedding_recall(spark, sf_dir):
 
 
 def dedup_embedding_recall_sql() -> str:
+    tn, td = _COS_T
     return f"""
     WITH {_emb_base_sql()},
     true_pairs AS (
@@ -565,8 +672,8 @@ def dedup_embedding_recall_sql() -> str:
       FROM n x JOIN n y ON x.vec_id < y.vec_id
       WHERE list_dot_product(x.qv, y.qv)::bigint > 0
         AND list_dot_product(x.qv, y.qv)::bigint
-            * list_dot_product(x.qv, y.qv)::bigint * 25
-            >= x.norm2 * y.norm2 * 4
+            * list_dot_product(x.qv, y.qv)::bigint * {tn}
+            >= x.norm2 * y.norm2 * {td}
     )
     SELECT (SELECT count(*) FROM true_pairs) AS n_true,
            (SELECT count(*) FROM true_pairs t

@@ -26,7 +26,7 @@ from __future__ import annotations
 from xml.etree import ElementTree
 
 import pandas as pd
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F, types as T
 
 PAGE_NS = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
 _NS = {"xmlns": PAGE_NS}
@@ -141,18 +141,31 @@ def gt_cells_to_ctdar_xml(cells) -> str:
 
 
 # ----------------------------------------------------- Spark transforms
-_PARSE_PAGE_UDF = None
-_PARSE_CTDAR_UDF = None
-_SERIALIZE_PAGE_UDF = None
+# pandas-UDF objects are cached per SparkSession: the decorator binds a
+# JVM-side _judf, so a module-level singleton would hold a dead py4j
+# gateway after bench.py's kill-JVM-between-phases pattern.
+_UDF_CACHE: dict = {"sess": None, "udfs": {}}
+
+
+def _cached_udf(name, build):
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    if _UDF_CACHE["sess"] is not sess:
+        _UDF_CACHE["sess"] = sess
+        _UDF_CACHE["udfs"] = {}
+    udfs = _UDF_CACHE["udfs"]
+    if name not in udfs:
+        udfs[name] = build()
+    return udfs[name]
 
 
 def parse_page_xml_col(col):
     """Column transform: PAGE-XML string → ``ocr_lines`` nested column
     (Arrow-batched; xml.etree per row inside the batch — parsing is
     inherently per-document, the batching amortizes the python boundary)."""
-    global _PARSE_PAGE_UDF
-    if _PARSE_PAGE_UDF is None:
 
+    def build():
         @F.pandas_udf(OCR_LINES_TYPE)
         def parse_page(xmls: pd.Series) -> pd.Series:
             return xmls.map(
@@ -168,15 +181,15 @@ def parse_page_xml_col(col):
                 ]
             )
 
-        _PARSE_PAGE_UDF = parse_page
-    return _PARSE_PAGE_UDF(col)
+        return parse_page
+
+    return _cached_udf("parse_page", build)(col)
 
 
 def parse_ctdar_xml_col(col):
     """Column transform: cTDaR GT string → ``cells`` nested column."""
-    global _PARSE_CTDAR_UDF
-    if _PARSE_CTDAR_UDF is None:
 
+    def build():
         @F.pandas_udf(GT_CELLS_TYPE)
         def parse_ctdar(xmls: pd.Series) -> pd.Series:
             return xmls.map(
@@ -195,19 +208,142 @@ def parse_ctdar_xml_col(col):
                 ]
             )
 
-        _PARSE_CTDAR_UDF = parse_ctdar
-    return _PARSE_CTDAR_UDF(col)
+        return parse_ctdar
+
+    return _cached_udf("parse_ctdar", build)(col)
 
 
 def serialize_page_xml_col(col):
     """Column transform: ``ocr_lines`` nested column → PAGE-XML string
     (used to build XML-shaped inputs from fixtures in tests/queries)."""
-    global _SERIALIZE_PAGE_UDF
-    if _SERIALIZE_PAGE_UDF is None:
 
+    def build():
         @F.pandas_udf("string")
         def ser_page(lines: pd.Series) -> pd.Series:
             return lines.map(ocr_lines_to_page_xml)
 
-        _SERIALIZE_PAGE_UDF = ser_page
-    return _SERIALIZE_PAGE_UDF(col)
+        return ser_page
+
+    return _cached_udf("ser_page", build)(col)
+
+
+def parse_page_xml_table(df, xml_col: str = "page_xml",
+                         out_col: str = "ocr_lines"):
+    """Arrow-native PAGE-XML ingestion (the scale path): one
+    ``mapInArrow`` pass that keeps every other column and replaces
+    ``xml_col`` with the parsed ``ocr_lines`` nested column.
+
+    ElementTree is used only for STRUCTURE (find lines / attributes);
+    all coordinate decoding is numpy over the document's concatenated
+    coords strings, and the nested Arrow arrays (points list<struct>,
+    lines list<struct>) are assembled directly from flat buffers — no
+    per-point (or per-line) python dict ever exists, unlike the
+    pandas-UDF column transform above (kept for small inputs / API
+    compatibility). Result-identical: pinned by tests/test_sources_xml.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_field = pa.field(
+        out_col,
+        pa.list_(
+            pa.struct(
+                [
+                    pa.field("line_id", pa.int32()),
+                    pa.field(
+                        "points",
+                        pa.list_(
+                            pa.struct(
+                                [
+                                    pa.field("x", pa.int32()),
+                                    pa.field("y", pa.int32()),
+                                ]
+                            )
+                        ),
+                    ),
+                    pa.field("text", pa.string()),
+                ]
+            )
+        ),
+    )
+
+    def fn(batches):
+        for rb in batches:
+            xml_idx = rb.schema.get_field_index(xml_col)
+            xmls = rb.column(xml_idx).to_pylist()
+            texts: list = []
+            coord_strs: list = []
+            n_pts: list = []
+            line_offsets = [0]
+            for s in xmls:
+                root = ElementTree.fromstring(s)
+                lines = root.findall(
+                    "./xmlns:Page/xmlns:TextRegion/xmlns:TextLine", _NS
+                )
+                for line in lines:
+                    c = line.find("./xmlns:Coords", _NS)
+                    ps = c.attrib["points"]
+                    coord_strs.append(ps)
+                    n_pts.append(ps.count(",") if ps else 0)
+                    uni = line.find(
+                        "./xmlns:TextEquiv/xmlns:Unicode", _NS
+                    )
+                    texts.append(
+                        uni.text
+                        if uni is not None and uni.text is not None
+                        else ""
+                    )
+                line_offsets.append(len(texts))
+            # one numpy parse over all points in the batch
+            joined = " ".join(coord_strs).replace(",", " ")
+            flat = (
+                np.array(joined.split(), dtype=np.int64)
+                if joined
+                else np.empty(0, dtype=np.int64)
+            )
+            xy = flat.reshape(-1, 2).astype(np.int32)
+            pt_offsets = np.zeros(len(n_pts) + 1, dtype=np.int32)
+            np.cumsum(np.asarray(n_pts, dtype=np.int32), out=pt_offsets[1:])
+            pts_struct = pa.StructArray.from_arrays(
+                [pa.array(xy[:, 0], pa.int32()),
+                 pa.array(xy[:, 1], pa.int32())],
+                ["x", "y"],
+            )
+            pts_list = pa.ListArray.from_arrays(
+                pa.array(pt_offsets, pa.int32()), pts_struct
+            )
+            line_ids = np.concatenate(
+                [
+                    np.arange(b - a, dtype=np.int32)
+                    for a, b in zip(line_offsets, line_offsets[1:])
+                ]
+            ) if texts else np.empty(0, dtype=np.int32)
+            line_struct = pa.StructArray.from_arrays(
+                [pa.array(line_ids, pa.int32()), pts_list,
+                 pa.array(texts, pa.string())],
+                ["line_id", "points", "text"],
+            )
+            lines_list = pa.ListArray.from_arrays(
+                pa.array(np.asarray(line_offsets, dtype=np.int32)),
+                line_struct,
+            )
+            arrays = [
+                rb.column(j) for j in range(rb.num_columns) if j != xml_idx
+            ] + [lines_list]
+            names = [
+                rb.schema.field(j).name
+                for j in range(rb.num_columns)
+                if j != xml_idx
+            ] + [out_col]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    out_schema = T.StructType.fromDDL(
+        ", ".join(
+            f"{f.name} {df.schema[f.name].dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name != xml_col
+        )
+        + f", {out_col} {OCR_LINES_TYPE}"
+    )
+    _ = out_field
+    return df.mapInArrow(fn, out_schema)

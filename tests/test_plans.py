@@ -86,3 +86,36 @@ def test_split_filter_pushed_to_scan(spark, tmp_path):
     out = filter_split(spark.read.parquet(path), [3, 17, 42], "doc_id")
     p = _formatted_plan(out)
     assert "PushedFilters" in p and "In(doc_id" in p, p
+
+
+def test_embedding_dedup_no_cartesian(spark):
+    """The banded-LSH candidate join must stay an equi-join on
+    (band, bucket) — a refactor that degrades it to a cartesian /
+    nested-loop product dies at 100 TB."""
+    from table_recognition_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    p = _formatted_plan(
+        dedup_embedding_cosine(spark, "/root/testdata/sf0.001")
+    )
+    assert "CartesianProduct" not in p, p[:1200]
+    assert "BroadcastNestedLoopJoin" not in p, p[:1200]
+    spark.catalog.clearCache()
+
+
+def test_jaccard_df_cap_before_pair_join(spark):
+    """The document-frequency cap must sit between the shingle explode
+    and the token self-join (an aggregate feeding the join input), so a
+    universal shingle can never reach the pairing stage."""
+    from pyspark.sql import functions as F
+
+    from table_recognition_spark.operators import dedup
+
+    df = dedup.dedup_jaccard_ngram(spark, "/root/testdata/sf0.001")
+    p = _formatted_plan(df)
+    # the cap is a HashAggregate producing df<=cap, joined back to tokens:
+    # assert the filter constant survives into the physical plan
+    assert f"<= {dedup.JACCARD_DF_CAP}" in p, p[:1500]
+    spark.catalog.clearCache()
+    _ = F

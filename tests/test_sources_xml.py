@@ -87,6 +87,35 @@ def test_page_xml_spark_roundtrip(spark):
 
 
 @pytest.mark.spark
+def test_page_xml_arrow_table_parse_equals_pandas_col(spark):
+    """The Arrow-native table parse (scale path: flat-buffer assembly,
+    no per-point python) is result-identical to the pandas-UDF column
+    transform AND to the original nested column."""
+    from table_recognition_spark.fixtures.generate import (
+        corpus_to_spark, make_corpus,
+    )
+    from table_recognition_spark.sources.pagexml import parse_page_xml_table
+
+    _, media, _ = make_corpus(0, 8, seed=12)
+    _, media_df = corpus_to_spark(spark, [], media)
+    xml_df = media_df.select(
+        "media_ref", "width", "height",
+        serialize_page_xml_col(F.col("ocr_lines")).alias("page_xml"),
+    )
+    via_table = parse_page_xml_table(xml_df, "page_xml", "ocr_lines")
+    assert [f.name for f in via_table.schema.fields] == [
+        "media_ref", "width", "height", "ocr_lines",
+    ]
+    orig = {r["media_ref"]: r["ocr_lines"]
+            for r in media_df.select("media_ref", "ocr_lines").collect()}
+    got = {r["media_ref"]: r["ocr_lines"]
+           for r in via_table.select("media_ref", "ocr_lines").collect()}
+    assert got == orig
+    # empty-input batch shape survives
+    assert parse_page_xml_table(xml_df.limit(0)).count() == 0
+
+
+@pytest.mark.spark
 def test_extraction_from_page_xml_equals_direct(spark):
     """A user holding PAGE-XML files gets span-identical output."""
     from table_recognition_spark.core import gnn
