@@ -21,6 +21,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # reference-compatible mode CLI (--train/--infer/--data-preparation,
+    # table_recognition.py:21-45) takes precedence when a mode flag is
+    # present; otherwise the spark-submit extraction contract below
+    if any(
+        f in sys.argv for f in ("--train", "--infer", "--data-preparation")
+    ):
+        from table_recognition_spark.cli import add_mode_arguments, run_mode
+
+        mp = argparse.ArgumentParser("table_recognition_spark")
+        add_mode_arguments(mp)
+        raise SystemExit(run_mode(mp.parse_args()))
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", required=True, help="docs parquet path")
     ap.add_argument("--media", required=True, help="media parquet path")

