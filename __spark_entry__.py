@@ -107,6 +107,18 @@ def _media_patch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return patch_embeddings_flat(fixture_media(spark).repartition(2))
 
 
+def _media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + per-clip stats over the WAV fixture table (stdlib
+    PCM decode inside an Arrow-batched kernel; binary decode →
+    rows-only check, pytest pins values vs a local decode)."""
+    from table_recognition_spark.operators.multimodal import audio_stats
+    from table_recognition_spark.pipeline.flagship import fixture_audio
+
+    return audio_stats(fixture_audio(spark).repartition(2)).orderBy(
+        "media_ref"
+    )
+
+
 def _extract_from_pagexml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship extraction with the media table round-tripped through
     PAGE-XML strings — the reference's actual input format (graph.py:47-59)
@@ -241,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gt_repair_rows"] = _gt_repair_rows
     q["media_image_stats"] = _media_image_stats
     q["media_patch_embeddings"] = _media_patch_embeddings
+    q["media_audio_stats"] = _media_audio_stats
     q["dataset_split_load"] = _dataset_split_load
     return q
 

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "sim_ann_recall",
     "media_image_stats",
     "media_patch_embeddings",
+    "media_audio_stats",
     "dataset_split_load",
     "gt_repair_rows",
     "extract_from_pagexml",

@@ -93,18 +93,112 @@ def decode_image(data: bytes) -> np.ndarray:
     raise NotImplementedError(f"unknown image container: {data[:8]!r}")
 
 
-def decode_audio(data: bytes) -> np.ndarray:  # pragma: no cover - stub
+def decode_audio(data: bytes) -> np.ndarray:
+    """Decode an audio payload → (float32 mono samples in [-1, 1],
+    sample_rate). RIFF/WAVE PCM (8/16/32-bit int) is built in via the
+    stdlib ``wave`` parser + numpy frombuffer — no codec library needed
+    for the uncompressed container. Compressed codecs (mp3/aac/ogg)
+    raise until a decoder is injected with :func:`register_audio_codec`."""
+    head = bytes(data[:4])
+    for magic, dec in _AUDIO_CODECS.items():
+        if head.startswith(magic):
+            return dec(data)
     raise NotImplementedError(
-        "audio decode stub: plug an Arrow-batched codec here; the Spark "
-        "plumbing (binary column → mapInPandas → array<float>) is the "
-        "same as decode_image."
+        f"audio decode: unknown/compressed container {data[:4]!r}; "
+        "inject a codec with register_audio_codec(magic, decoder)."
     )
+
+
+def _wav_decode(data: bytes):
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+        n = w.getnframes()
+        sw = w.getsampwidth()
+        ch = w.getnchannels()
+        rate = w.getframerate()
+        raw = w.readframes(n)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        x = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} unsupported")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)  # mono mixdown
+    return x, rate
+
+
+_AUDIO_CODECS: dict = {b"RIFF": _wav_decode}
+
+
+def register_audio_codec(magic: bytes, decoder) -> None:
+    """Install an audio decoder for a container magic prefix (e.g. an
+    ffmpeg-backed mp3 decoder in a deployment that ships one)."""
+    _AUDIO_CODECS[bytes(magic)] = decoder
 
 
 def sample_video_frames(data: bytes, n: int) -> list:  # pragma: no cover
     raise NotImplementedError(
         "video frame-sample stub: same mapInPandas batch shape; emits "
         "one row per sampled frame (media_ref, frame_idx, frame:binary)."
+    )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def audio_stats(audio_df: DataFrame) -> DataFrame:
+    """(media_ref, audio:binary) → per-clip stats via the audio codec
+    registry — the same Arrow-batched ``mapInPandas`` shape as
+    :func:`image_stats`; WAV PCM real, compressed codecs injectable."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for ref, raw in zip(pdf["media_ref"], pdf["audio"]):
+                x, rate = decode_audio(raw)
+                rows.append(
+                    (
+                        ref,
+                        int(rate),
+                        int(len(x)),
+                        int(round(len(x) * 1000 / rate)) if rate else 0,
+                        float(
+                            np.round(
+                                np.sqrt(np.mean(np.square(x, dtype=np.float64)))
+                                if len(x)
+                                else 0.0,
+                                6,
+                            )
+                        ),
+                        float(np.round(np.abs(x).max() if len(x) else 0.0, 6)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "sample_rate", "n_samples",
+                    "duration_ms", "rms", "peak",
+                ],
+            )
+
+    return audio_df.select("media_ref", "audio").mapInPandas(
+        fn, AUDIO_STATS_SCHEMA
     )
 
 

@@ -115,6 +115,69 @@ def fixture_gt(spark: SparkSession, n_media: int = N_MEDIA) -> DataFrame:
     return spark.read.parquet(cache)
 
 
+def fixture_audio(spark: SparkSession, n_clips: int = 16) -> DataFrame:
+    """Seeded fixture audio table (media_ref, audio:binary WAV PCM,
+    expected duration/rate metadata), parquet-cached like
+    :func:`fixture_media`. Deterministic: clip i is a two-tone sine mix
+    at 8 kHz with seeded amplitudes/frequencies."""
+    import io
+    import os
+    import tempfile
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "dist", f"fixture_audio_n{n_clips}_seed42.parquet",
+    )
+    if not os.path.exists(cache):
+        rows = []
+        rate = 8000
+        for i in range(n_clips):
+            rng = np.random.default_rng([42, 1000 + i])
+            dur = float(rng.integers(4, 17)) / 8.0  # 0.5..2.0 s
+            t = np.arange(int(dur * rate)) / rate
+            f1, f2 = rng.integers(100, 900, 2)
+            a1, a2 = rng.uniform(0.1, 0.45, 2)
+            sig = a1 * np.sin(2 * np.pi * f1 * t) + a2 * np.sin(
+                2 * np.pi * f2 * t
+            )
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(
+                    (sig * 32767).clip(-32768, 32767).astype("<i2").tobytes()
+                )
+            rows.append(
+                {
+                    "media_ref": f"wav_{i:05d}",
+                    "audio": buf.getvalue(),
+                    "sample_rate": rate,
+                    "n_samples": len(t),
+                }
+            )
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = tempfile.mkdtemp(dir=os.path.dirname(cache))
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "data")
+        )
+        try:
+            os.rename(os.path.join(tmp, "data"), cache)
+        except OSError:
+            pass
+        finally:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(cache)
+
+
 def flagship(spark: SparkSession, sf_dir: str, weights: dict) -> DataFrame:
     """The end-to-end flagship: interleaved docs → extraction → flat spans."""
     docs_df = interleaved_docs(spark, sf_dir)

@@ -91,3 +91,33 @@ def test_universal_shingle_capped(spark, adversarial_dir, monkeypatch):
     )
     n_total = docs.count()
     assert fanout < n_total * 40  # uncapped: > n_total²/2 via 'common'*6
+
+
+def test_batch_udf_shingles_equal_hof(spark, adversarial_dir):
+    """The pandas-UDF shingle builder is result-identical to the
+    Catalyst HOF chain (the round-2 implementation, kept as oracle) —
+    including the empty-text and len<n edge cases."""
+    import pandas as pd
+
+    from table_recognition_spark.operators.dedup import (
+        _shingle_df,
+        _shingle_df_hof,
+    )
+
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [9001, 9002, 9003, 9004],
+                "text": ["", "one", "two tokens", "Mixed CASE a1-b2\tx"],
+            }
+        )
+    )
+    docs = (
+        spark.read.parquet(f"{adversarial_dir}/documents.parquet")
+        .unionByName(extra)
+    )
+    a = {r["doc_id"]: sorted(r["shingles"])
+         for r in _shingle_df(docs).collect()}
+    b = {r["doc_id"]: sorted(r["shingles"])
+         for r in _shingle_df_hof(docs).collect()}
+    assert a == b

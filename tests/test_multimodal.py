@@ -18,8 +18,8 @@ from table_recognition_spark.operators.multimodal import (
 def test_decode_image_stubs():
     with pytest.raises(NotImplementedError):
         decode_image(b"GIF89a...")
-    with pytest.raises(NotImplementedError, match="audio"):
-        decode_audio(b"RIFF")
+    with pytest.raises(NotImplementedError, match="register_audio_codec"):
+        decode_audio(b"OggS compressed")
 
 
 def test_resize_nearest_dims():
@@ -107,3 +107,93 @@ def test_jpeg_codec_injection_seam():
     finally:
         mm._CODECS[mm.JPEG_MAGIC] = builtin
     assert mm.decode_image(real).shape == img.shape
+
+
+def _wav_bytes(samples, rate=16000, ch=1, width=2):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 2:
+            raw = (np.asarray(samples) * 32767).astype("<i2").tobytes()
+        else:
+            raw = (
+                (np.asarray(samples) * 127 + 128).clip(0, 255)
+                .astype(np.uint8).tobytes()
+            )
+        w.writeframes(raw)
+    return buf.getvalue()
+
+
+def test_decode_audio_wav_pcm():
+    import numpy as np
+
+    t = np.arange(1600) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    x, rate = decode_audio(_wav_bytes(sig))
+    assert rate == 16000 and len(x) == 1600
+    assert np.abs(x - sig).max() < 1e-3  # 16-bit quantization error
+    # stereo mixes down to mono
+    stereo = np.stack([sig, -sig], axis=1).reshape(-1)
+    x2, _ = decode_audio(_wav_bytes(stereo, ch=2))
+    assert len(x2) == 1600 and np.abs(x2).max() < 1e-3
+    # compressed container still raises (injection seam)
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError, match="register_audio_codec"):
+        decode_audio(b"ID3\x03 mp3-ish")
+
+
+@pytest.mark.spark
+def test_audio_stats_over_wav_table(spark):
+    import numpy as np
+    import pandas as pd
+
+    from table_recognition_spark.operators.multimodal import audio_stats
+
+    t = np.arange(8000) / 8000.0
+    rows = [
+        {"media_ref": "a0", "audio": _wav_bytes(0.5 * np.sin(2 * np.pi * 440 * t), rate=8000)},
+        {"media_ref": "a1", "audio": _wav_bytes(np.zeros(100), rate=8000)},
+    ]
+    got = {
+        r["media_ref"]: r.asDict()
+        for r in audio_stats(spark.createDataFrame(pd.DataFrame(rows))).collect()
+    }
+    assert got["a0"]["sample_rate"] == 8000
+    assert got["a0"]["duration_ms"] == 1000
+    assert abs(got["a0"]["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert got["a1"]["rms"] == 0.0 and got["a1"]["n_samples"] == 100
+
+
+@pytest.mark.spark
+def test_fixture_audio_stats_pinned(spark):
+    """The driver-facing media_audio_stats query decodes the seeded WAV
+    fixture deterministically; values pinned vs a local decode."""
+    import numpy as np
+
+    from table_recognition_spark.operators.multimodal import (
+        audio_stats,
+        decode_audio,
+    )
+    from table_recognition_spark.pipeline.flagship import fixture_audio
+
+    fa = fixture_audio(spark)
+    got = {r["media_ref"]: r.asDict() for r in audio_stats(fa).collect()}
+    raw = {r["media_ref"]: (bytes(r["audio"]), r["n_samples"])
+           for r in fa.collect()}
+    assert len(got) == 16
+    for ref, (wav, n_samples) in raw.items():
+        x, rate = decode_audio(wav)
+        r = got[ref]
+        assert r["sample_rate"] == rate == 8000
+        assert r["n_samples"] == len(x) == n_samples
+        assert r["rms"] == float(
+            np.round(np.sqrt(np.mean(np.square(x, dtype=np.float64))), 6)
+        )
