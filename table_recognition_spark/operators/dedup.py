@@ -686,33 +686,50 @@ def dedup_embedding_recall(spark, sf_dir):
     pair the bands miss shows up as n_caught < n_true (expected miss
     rate ≈ 0.7% on the planted perturbation; exact copies are never
     missed). Brute force at fixture scale; a production run samples.
-    Output: one row (n_true, n_caught)."""
-    from .similarity import _dot_pandas
+    Output: one row (n_true, n_caught).
 
+    Plan shape: the full quantized matrix is broadcast to every worker
+    (the same driver-side materialization a broadcast-hash join
+    performs; ~1 MB at fixture scale, and exactly what a sampled
+    ground-truth run ships at production scale) and each Arrow batch
+    scores against it with one integer einsum — a nested-loop pair join
+    materializing O(n²) array-payload rows cost 33 s at sf0.1; this
+    shape runs in ~2 s."""
     q = _emb_quantized(spark, sf_dir).cache()
-    a = q.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("qv").alias("qa"),
-        F.col("norm2").alias("na"),
-    )
-    b = q.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("qv").alias("qb"),
-        F.col("norm2").alias("nb"),
-    )
     tn, td = _COS_T
-    true_pairs = (
-        F.broadcast(a)
-        .join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("dot", _dot_pandas("qa", "qb"))
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.col("dot") * F.col("dot") * tn
-                >= F.col("na") * F.col("nb") * td
+
+    qpd = q.select("vec_id", "qv", "norm2").toPandas()
+    order = np.argsort(qpd["vec_id"].to_numpy())
+    ids_all = qpd["vec_id"].to_numpy()[order]
+    A = np.stack(qpd["qv"].to_numpy()[order]).astype(np.int64)
+    n2_all = qpd["norm2"].to_numpy()[order].astype(np.int64)
+    bc = spark.sparkContext.broadcast((ids_all, A, n2_all))
+
+    def fn(batches):
+        ids_a, Am, n2a = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Qb = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            ids_b = pdf["vec_id"].to_numpy()
+            n2b = pdf["norm2"].to_numpy().astype(np.int64)
+            dots = Qb @ Am.T  # (batch, n) int64
+            # int64 throughout — identical to the Spark/DuckDB bigint
+            # arithmetic (values are far inside the int64 range for
+            # unit-scale embeddings: dot² · 400 < 4e17)
+            ok = (dots > 0) & (
+                dots * dots * tn >= n2b[:, None] * n2a[None, :] * td
             )
-        )
-        .select("id_a", "id_b")
+            # i < j ordering on vec_id, one row per unordered pair
+            ok &= ids_b[:, None] < ids_a[None, :]
+            bi, ai = np.nonzero(ok)
+            if len(bi):
+                yield pd.DataFrame(
+                    {"id_a": ids_b[bi], "id_b": ids_a[ai]}
+                )
+
+    true_pairs = q.select("vec_id", "qv", "norm2").mapInPandas(
+        fn, "id_a long, id_b long"
     )
     cand = _emb_candidates(q)
     caught = true_pairs.join(cand, ["id_a", "id_b"], "left_semi")
@@ -786,10 +803,13 @@ def _local_cc_mapping(edges_df):
     return edges_df.mapInPandas(fn, "label long, root long")
 
 
-def dedup_groups_cc(spark, sf_dir):
-    """Duplicate GROUPS from near-dup pairs: connected components, the
-    step that turns pairwise detection into an actual
-    keep-one-per-cluster dedup decision.
+def connected_components(pairs, src: str = "doc_a", dst: str = "doc_b",
+                         max_rounds: int = 50):
+    """Distributed connected components over an undirected edge list →
+    (doc_id, group_id = component min). The step that turns pairwise
+    near-dup detection into a keep-one-per-cluster dedup decision;
+    exposed standalone so any pair producer (minhash, simhash, jaccard,
+    embedding) can feed it.
 
     Algorithm: iterated LOCAL CONTRACTION (the two-level scheme
     GraphFrames/Grape-style systems use) —
@@ -802,47 +822,49 @@ def dedup_groups_cc(spark, sf_dir):
     3. apply the mapping to the label table; repeat until no
        cross-label edge remains.
 
+    4. pointer-jump the label table (group ← group(group), one
+       self-join folded into the same update plan): the reconciled
+       mapping of a scattered path is itself chain-shaped (5→4, 4→3,
+       …), so one application only shifts labels a step; the jump
+       doubles the contraction distance per round, giving O(log
+       diameter) rounds on adversarial chains (pinned by
+       tests/test_connected_components.py's 400-node path).
+
     A whole component colocated in one partition collapses in a single
     round (vs O(diameter) rounds for plain min-label propagation, which
     made this the suite's slowest query in round 2 at 25 s); labels
     decrease monotonically toward the component min, so the fixpoint is
-    exact. Components spanning partitions converge in O(log n) rounds —
-    each round at least halves the number of live labels per component.
-    Convergence detection is the emptiness of the (already
+    exact. Convergence detection is the emptiness of the (already
     materialized) mapping — no extra join+count job per round.
     ``localCheckpoint`` truncates lineage each round (reliable
-    ``checkpoint()`` to HDFS/S3 at cluster scale). Oracle: DuckDB
-    recursive-CTE transitive closure over the same pair set."""
+    ``checkpoint()`` to HDFS/S3 at cluster scale)."""
+    spark = pairs.sparkSession
     # materialize the pair set ONCE: it feeds the vertex set and every
     # round's translation join
-    pairs = (
-        dedup_jaccard_ngram(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
+    pairs = pairs.select(src, dst).localCheckpoint()
     P = spark.sparkContext.defaultParallelism
     labels = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select("doc_b"))
+        pairs.select(F.col(src).alias("doc_id"))
+        .union(pairs.select(dst))
         .distinct()
         .withColumn("group_id", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _round in range(50):
+    for _round in range(max_rounds):
         e = (
             pairs.join(
                 labels.select(
-                    F.col("doc_id").alias("doc_a"),
+                    F.col("doc_id").alias(src),
                     F.col("group_id").alias("ga"),
                 ),
-                "doc_a",
+                src,
             )
             .join(
                 labels.select(
-                    F.col("doc_id").alias("doc_b"),
+                    F.col("doc_id").alias(dst),
                     F.col("group_id").alias("gb"),
                 ),
-                "doc_b",
+                dst,
             )
             .select(
                 F.least("ga", "gb").alias("u"),
@@ -861,21 +883,44 @@ def dedup_groups_cc(spark, sf_dir):
         )
         if mapping.isEmpty():
             break
+        stepped = labels.join(
+            mapping, labels["group_id"] == mapping["label"], "left"
+        ).select(
+            "doc_id",
+            F.coalesce("root", "group_id").alias("group_id"),
+        )
+        # pointer jump: group ← group(group). group ids are themselves
+        # vertex ids, so the self-join always resolves; min() keeps the
+        # monotone-decrease invariant.
+        jump = stepped.select(
+            F.col("doc_id").alias("group_id"),
+            F.col("group_id").alias("g2"),
+        )
         labels = (
-            labels.join(
-                mapping, labels["group_id"] == mapping["label"], "left"
-            )
+            stepped.join(jump, "group_id", "left")
             .select(
                 "doc_id",
-                F.coalesce("root", "group_id").alias("group_id"),
+                F.least(
+                    F.col("group_id"), F.coalesce("g2", "group_id")
+                ).alias("group_id"),
             )
             .localCheckpoint()
         )
     else:  # pragma: no cover — progress is guaranteed each round
         raise RuntimeError(
-            "dedup_groups_cc did not converge within 50 rounds"
+            f"connected_components did not converge within {max_rounds} "
+            "rounds"
         )
-    return labels.orderBy("doc_id")
+    return labels
+
+
+def dedup_groups_cc(spark, sf_dir):
+    """Duplicate GROUPS from the jaccard near-dup pairs via
+    :func:`connected_components`. Oracle: DuckDB recursive-CTE
+    transitive closure over the same pair set."""
+    return connected_components(
+        dedup_jaccard_ngram(spark, sf_dir)
+    ).orderBy("doc_id")
 
 
 def dedup_groups_cc_sql() -> str:
