@@ -313,11 +313,16 @@ def _run_scaling(cpus: int) -> dict:
         )
 
     pairs = []
+    phase_t0 = time.time()
+    budget_s = float(os.environ.get("BENCH_SCALE_BUDGET", "1500"))
     # one adaptive extra attempt: if the first `attempts` land marginal
     # (< 0.82 — i.e. every hi sample hit a degraded window), buy one
     # more round of samples before reporting
     for k in range(attempts + 1):
-        if k == attempts and current_eff(pairs) >= 0.82:
+        if k == attempts and (
+            current_eff(pairs) >= 0.82
+            or time.time() - phase_t0 > budget_s
+        ):
             break
         _wait_quiet(gate_budget, calib_trace)
         t_hi = parse_result(spawn_child(hi_n, hi_cores, repeats=3))
@@ -378,6 +383,7 @@ def _run_scaling(cpus: int) -> dict:
                 min(p[0] for p in fb_pairs)
                 / (4.0 * min(p[1] for p in fb_pairs))
                 >= 0.82
+                or time.time() - phase_t0 > budget_s + 700
             ):
                 break
         eff2 = min(
