@@ -119,6 +119,18 @@ def _media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling + per-frame stats over the TRV0 fixture
+    table (deterministic JPEG-frame container; one container decode per
+    clip, only sampled frames image-decoded)."""
+    from table_recognition_spark.operators.multimodal import video_frame_stats
+    from table_recognition_spark.pipeline.flagship import fixture_video
+
+    return video_frame_stats(fixture_video(spark).repartition(2)).orderBy(
+        "media_ref", "frame_idx"
+    )
+
+
 def _extract_from_pagexml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship extraction with the media table round-tripped through
     PAGE-XML strings — the reference's actual input format (graph.py:47-59)
@@ -236,6 +248,35 @@ def _gt_repair_sql() -> str:
     """
 
 
+# --- committed-expected-parquet oracles --------------------------------
+# The GNN-extraction and media-decode queries are non-SQL-expressible,
+# but their outputs are fully deterministic (seeded weights, canonical
+# node/edge ordering, pinned pure-numpy codecs). scripts/gen_expected.py
+# materializes each one's output at the driver's correctness scale
+# (sf0.01) as a committed parquet under dist/expected/; the DuckDB
+# oracle replays that committed truth while Spark recomputes live, so
+# the driver's rows+schema+hash gate covers the flagship kernel itself.
+# Staleness guard: tests/test_queries_duckdb.py recomputes every one of
+# these against the committed parquet on each pytest run.
+EXPECTED_ORACLE_QUERIES = [
+    "extract_interleaved",
+    "extract_interleaved_visibility",
+    "extract_interleaved_visual",
+    "extract_from_pagexml",
+    "media_image_stats",
+    "media_patch_embeddings",
+    "media_audio_stats",
+    "media_video_frame_stats",
+]
+
+
+def _expected_sql(name: str) -> str | None:
+    path = os.path.join(_REPO, "dist", "expected", f"{name}.parquet")
+    if not os.path.isdir(path):
+        return None  # not yet generated: driver falls back to rows-only
+    return f"SELECT * FROM read_parquet('{path}/*.parquet')"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from table_recognition_spark.operators import dedup, similarity, textstats
     from table_recognition_spark.queries import relational
@@ -245,7 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(textstats.QUERIES)
     q.update(dedup.QUERIES)
     q.update(similarity.QUERIES)
-    # non-SQL-expressible (GNN kernel / binary decode) → rows-only checks
+    # non-SQL-expressible (GNN kernel / binary decode) → oracled via the
+    # committed-expected-parquet pattern (EXPECTED_ORACLE_QUERIES above)
     q["extract_interleaved"] = _extract_interleaved
     q["extract_interleaved_visibility"] = _extract_interleaved_visibility
     q["extract_interleaved_visual"] = _extract_interleaved_visual
@@ -254,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_image_stats"] = _media_image_stats
     q["media_patch_embeddings"] = _media_patch_embeddings
     q["media_audio_stats"] = _media_audio_stats
+    q["media_video_frame_stats"] = _media_video_frame_stats
     q["dataset_split_load"] = _dataset_split_load
     return q
 
@@ -269,4 +312,8 @@ def oracle_sql() -> dict[str, str]:
     o.update(similarity.ORACLES)
     o["dataset_split_load"] = DATASET_SPLIT_SQL
     o["gt_repair_rows"] = _gt_repair_sql()
+    for name in EXPECTED_ORACLE_QUERIES:
+        sql = _expected_sql(name)
+        if sql is not None:
+            o[name] = sql
     return o

@@ -2,13 +2,15 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 kernels.
 
-Real and tested: PNG decode (our own zlib-only grayscale decoder),
+Real and tested, all pure numpy/stdlib: PNG + baseline JPEG decode,
 image stats, nearest-neighbour resize/thumbnail feature extraction,
-patch mean-pool embeddings. Stubbed (no codec libs in this environment,
-deliberately): JPEG/audio/video decode raise ``NotImplementedError``
-behind the same batch interface, so the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — is exercised end-to-end while
-the codec is swappable.
+patch mean-pool embeddings, RIFF/WAVE PCM audio decode + stats, and a
+deterministic length-prefixed video container (TRV0, JPEG frames from
+our own encoder) with evenly-spaced frame sampling + per-frame stats.
+Every decode goes through a magic-prefix codec registry, so a
+deployment that ships libjpeg-turbo/ffmpeg swaps the hot codec in
+without touching any operator — the registries are the injection seam,
+not a stub.
 
 These run on the fixture media table (the driver's testdata carries no
 binary column), so their correctness check is rows-only plus pytest
@@ -143,10 +145,142 @@ def register_audio_codec(magic: bytes, decoder) -> None:
     _AUDIO_CODECS[bytes(magic)] = decoder
 
 
-def sample_video_frames(data: bytes, n: int) -> list:  # pragma: no cover
+# --- video ------------------------------------------------------------
+# Container registry, same shape as images/audio: magic prefix → decoder
+# returning (fps, [frame_bytes, ...]). Built in: TRV0, a deterministic
+# length-prefixed frame container whose frames are baseline JPEGs from
+# our own encoder (core/jpeg.py) — a fully real decode path with no
+# native codec library. Real-world containers (mp4/webm) raise until an
+# ffmpeg-backed decoder is injected with :func:`register_video_codec`.
+VIDEO_MAGIC = b"TRV0"
+
+
+def video_encode(frames: list, fps: int) -> bytes:
+    """Write the TRV0 container: magic + u16 fps + u32 n_frames, then
+    u32 length-prefixed encoded frame payloads (each a self-describing
+    image container, JPEG for our fixtures)."""
+    import struct
+
+    out = [VIDEO_MAGIC, struct.pack("<HI", fps, len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(bytes(f))
+    return b"".join(out)
+
+
+def _trv_decode(data: bytes):
+    import struct
+
+    data = bytes(data)
+    if data[:4] != VIDEO_MAGIC:
+        raise ValueError("not a TRV0 container")
+    fps, n = struct.unpack_from("<HI", data, 4)
+    frames = []
+    off = 10
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", data, off)
+        off += 4
+        frames.append(data[off : off + ln])
+        off += ln
+    return fps, frames
+
+
+_VIDEO_CODECS: dict = {VIDEO_MAGIC: _trv_decode}
+
+
+def register_video_codec(magic: bytes, decoder) -> None:
+    """Install a video container decoder for a magic prefix (e.g. an
+    ffmpeg-backed mp4 demux+decode in a deployment that ships one);
+    decoder(bytes) -> (fps, [encoded_frame_bytes, ...])."""
+    _VIDEO_CODECS[bytes(magic)] = decoder
+
+
+def decode_video(data: bytes):
+    """Decode a video payload → (fps, [frame_bytes, ...]) via the video
+    codec registry."""
+    head = bytes(data[:4])
+    for magic, dec in _VIDEO_CODECS.items():
+        if head.startswith(magic):
+            return dec(data)
     raise NotImplementedError(
-        "video frame-sample stub: same mapInPandas batch shape; emits "
-        "one row per sampled frame (media_ref, frame_idx, frame:binary)."
+        f"video decode: unknown container {data[:4]!r}; inject a codec "
+        "with register_video_codec(magic, decoder)."
+    )
+
+
+def sample_video_frames(data: bytes, n: int) -> list:
+    """Evenly-spaced frame sample: decode the container and return up to
+    ``n`` (frame_idx, frame_bytes) pairs at stride len/n (deterministic —
+    the first frame of each of ``n`` equal time buckets, the standard
+    keyframe-ish sampling a training pipeline wants)."""
+    _fps, frames = decode_video(data)
+    total = len(frames)
+    if total == 0:
+        return []
+    n = min(n, total)
+    idxs = sorted({(i * total) // n for i in range(n)})
+    return [(i, frames[i]) for i in idxs]
+
+
+VIDEO_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("ink_ratio", T.DoubleType()),
+    ]
+)
+
+
+def video_frame_stats(video_df: DataFrame, n_sample: int = 4) -> DataFrame:
+    """(media_ref, video:binary) → one row per sampled frame with the
+    same intensity stats as :func:`image_stats`. Arrow-batched
+    ``mapInPandas``, one container decode per clip, sampled frames only
+    are image-decoded (a 10k-frame clip decodes ``n_sample`` JPEGs, not
+    10k) — the decode-cost shape that survives long videos at scale."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for ref, raw in zip(pdf["media_ref"], pdf["video"]):
+                fps, frames = decode_video(raw)
+                dur = (
+                    int(round(len(frames) * 1000 / fps)) if fps else 0
+                )
+                for idx, fb in sample_video_frames(raw, n_sample):
+                    img = decode_image(fb)
+                    h, w = img.shape[:2]
+                    rows.append(
+                        (
+                            ref,
+                            int(len(frames)),
+                            int(fps),
+                            dur,
+                            int(idx),
+                            w,
+                            h,
+                            float(np.round(img.mean(dtype=np.float64), 6)),
+                            float(
+                                np.round((img < 255).mean(dtype=np.float64), 6)
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "n_frames", "fps", "duration_ms",
+                    "frame_idx", "width", "height", "mean_intensity",
+                    "ink_ratio",
+                ],
+            )
+
+    return video_df.select("media_ref", "video").mapInPandas(
+        fn, VIDEO_FRAME_STATS_SCHEMA
     )
 
 

@@ -178,6 +178,71 @@ def fixture_audio(spark: SparkSession, n_clips: int = 16) -> DataFrame:
     return spark.read.parquet(cache)
 
 
+def fixture_video(spark: SparkSession, n_clips: int = 8) -> DataFrame:
+    """Seeded fixture video table (media_ref, video:binary TRV0
+    container of baseline-JPEG frames from core/jpeg.py's own encoder),
+    parquet-cached like :func:`fixture_media`. Deterministic: clip i is
+    6-12 frames of a seeded gradient with a rectangle marching across —
+    adjacent frames differ, so frame sampling is observable."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from ..core.jpeg import jpeg_encode_gray8
+    from ..operators.multimodal import video_encode
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "dist", f"fixture_video_n{n_clips}_seed42.parquet",
+    )
+    if not os.path.exists(cache):
+        rows = []
+        h, w = 48, 64
+        for i in range(n_clips):
+            rng = np.random.default_rng([42, 2000 + i])
+            n_frames = int(rng.integers(6, 13))
+            fps = int(rng.choice([5, 10, 15]))
+            base = (
+                np.linspace(40, 200, w, dtype=np.float64)[None, :]
+                + rng.integers(0, 30)
+            )
+            frames = []
+            for f in range(n_frames):
+                img = np.broadcast_to(base, (h, w)).copy()
+                x0 = (f * 7 + int(rng.integers(0, 5))) % (w - 16)
+                y0 = (f * 3) % (h - 12)
+                img[y0 : y0 + 12, x0 : x0 + 16] = 235
+                frames.append(
+                    jpeg_encode_gray8(img.clip(0, 255).astype(np.uint8))
+                )
+            rows.append(
+                {
+                    "media_ref": f"vid_{i:05d}",
+                    "video": video_encode(frames, fps),
+                    "n_frames": n_frames,
+                    "fps": fps,
+                }
+            )
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = tempfile.mkdtemp(dir=os.path.dirname(cache))
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "data")
+        )
+        try:
+            os.rename(os.path.join(tmp, "data"), cache)
+        except OSError:
+            pass
+        finally:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(cache)
+
+
 def flagship(spark: SparkSession, sf_dir: str, weights: dict) -> DataFrame:
     """The end-to-end flagship: interleaved docs → extraction → flat spans."""
     docs_df = interleaved_docs(spark, sf_dir)

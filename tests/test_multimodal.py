@@ -197,3 +197,104 @@ def test_fixture_audio_stats_pinned(spark):
         assert r["rms"] == float(
             np.round(np.sqrt(np.mean(np.square(x, dtype=np.float64))), 6)
         )
+
+
+def test_video_container_roundtrip():
+    """TRV0 container: encode N frame payloads, decode back bit-exact."""
+    from table_recognition_spark.operators.multimodal import (
+        decode_video,
+        video_encode,
+    )
+
+    frames = [b"frame-%d-payload" % i * (i + 1) for i in range(7)]
+    blob = video_encode(frames, fps=10)
+    fps, out = decode_video(blob)
+    assert fps == 10
+    assert out == frames
+
+
+def test_video_frame_sampling_even_spacing():
+    from table_recognition_spark.operators.multimodal import (
+        sample_video_frames,
+        video_encode,
+    )
+
+    frames = [bytes([i]) for i in range(12)]
+    blob = video_encode(frames, fps=5)
+    # n < total: evenly spaced bucket starts, deterministic
+    assert [i for i, _ in sample_video_frames(blob, 4)] == [0, 3, 6, 9]
+    # n >= total: every frame once
+    assert [i for i, _ in sample_video_frames(blob, 99)] == list(range(12))
+    # payloads come back from the right indices
+    assert [b for _, b in sample_video_frames(blob, 4)] == [
+        bytes([0]), bytes([3]), bytes([6]), bytes([9])
+    ]
+    # empty container
+    assert sample_video_frames(video_encode([], fps=5), 4) == []
+
+
+def test_video_codec_injection_seam():
+    import pytest as _pytest
+
+    from table_recognition_spark.operators.multimodal import (
+        _VIDEO_CODECS,
+        decode_video,
+        register_video_codec,
+    )
+
+    with _pytest.raises(NotImplementedError, match="register_video_codec"):
+        decode_video(b"\x00\x00\x00\x20ftypisom fake mp4")
+    register_video_codec(b"FAKE", lambda d: (1, [b"x"]))
+    try:
+        assert decode_video(b"FAKEvideo") == (1, [b"x"])
+    finally:
+        _VIDEO_CODECS.pop(b"FAKE")
+
+
+@pytest.mark.spark
+def test_fixture_video_frame_stats_pinned(spark):
+    """media_video_frame_stats decodes the seeded TRV0/JPEG fixture
+    deterministically; per-frame stats pinned vs a local decode of the
+    same sampled frames."""
+    import numpy as np
+
+    from table_recognition_spark.operators.multimodal import (
+        decode_image,
+        decode_video,
+        sample_video_frames,
+        video_frame_stats,
+    )
+    from table_recognition_spark.pipeline.flagship import fixture_video
+
+    fv = fixture_video(spark)
+    got = [
+        r.asDict()
+        for r in video_frame_stats(fv, n_sample=4)
+        .orderBy("media_ref", "frame_idx")
+        .collect()
+    ]
+    raw = {r["media_ref"]: bytes(r["video"]) for r in fv.collect()}
+    meta = {r["media_ref"]: (r["n_frames"], r["fps"]) for r in fv.collect()}
+    assert len(raw) == 8
+    assert len(got) == 8 * 4  # every fixture clip has >= 6 frames
+    by_clip: dict = {}
+    for row in got:
+        by_clip.setdefault(row["media_ref"], []).append(row)
+    for ref, blob in raw.items():
+        n_frames, fps = meta[ref]
+        _f, frames = decode_video(blob)
+        assert _f == fps and len(frames) == n_frames
+        rows = by_clip[ref]
+        expected = sample_video_frames(blob, 4)
+        assert [r["frame_idx"] for r in rows] == [i for i, _ in expected]
+        for r, (_i, fb) in zip(rows, expected):
+            img = decode_image(fb)
+            assert (r["width"], r["height"]) == (64, 48)
+            assert r["n_frames"] == n_frames and r["fps"] == fps
+            assert r["duration_ms"] == int(round(n_frames * 1000 / fps))
+            assert r["mean_intensity"] == float(
+                np.round(img.mean(dtype=np.float64), 6)
+            )
+            assert r["ink_ratio"] == float(
+                np.round((img < 255).mean(dtype=np.float64), 6)
+            )
