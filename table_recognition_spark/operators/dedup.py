@@ -678,54 +678,80 @@ def dedup_embedding_cosine_sql() -> str:
     """
 
 
-def dedup_embedding_recall(spark, sf_dir):
-    """Candidate-generation recall of the SRP-LSH bands against the
-    EXACT all-pairs near-dup truth (integer cosine ≥ 0.95, no
-    bucketing) — the measurement round 2 lacked: its oracle bucketed
-    identically, so the gate was structurally blind to LSH misses. Any
-    pair the bands miss shows up as n_caught < n_true (expected miss
-    rate ≈ 0.7% on the planted perturbation; exact copies are never
-    missed). Brute force at fixture scale; a production run samples.
-    Output: one row (n_true, n_caught).
+RECALL_SAMPLE_PCT = 25  # seeded md5-roll query sample for the recall eval
 
-    Plan shape: the full quantized matrix is broadcast to every worker
-    (the same driver-side materialization a broadcast-hash join
-    performs; ~1 MB at fixture scale, and exactly what a sampled
-    ground-truth run ships at production scale) and each Arrow batch
-    scores against it with one integer einsum — a nested-loop pair join
-    materializing O(n²) array-payload rows cost 33 s at sf0.1; this
-    shape runs in ~2 s."""
+
+def _md5_roll(col):
+    """Deterministic 0..99 roll from md5(id) — the same cross-engine
+    sampling key textstats' stratified sampler uses (scan-side codegen
+    filter, no shuffle, identical in DuckDB)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+
+
+def dedup_embedding_recall(spark, sf_dir, sample_pct: int = RECALL_SAMPLE_PCT):
+    """Candidate-generation recall of the SRP-LSH bands against the
+    exact near-dup truth (integer cosine ≥ 0.95, no bucketing) on a
+    SEEDED QUERY SAMPLE — the production ANN/dedup eval loop. A
+    deterministic md5-roll picks ``sample_pct``% of vec_ids; the truth
+    is every near-dup pair with at least one sampled endpoint (each
+    sampled vector scored against the FULL corpus, so LSH misses are
+    still visible); ``n_caught < n_true`` flags any pair the bands
+    miss. Output: one row (n_true, n_caught).
+
+    Plan shape (the scale path round 3 lacked): only the SAMPLE's
+    quantized matrix is broadcast — O(s·d), the same payload a
+    broadcast-hash join ships — and the full table streams through one
+    integer einsum per Arrow batch: O(n·s) compute, no O(n²) scoring
+    and no full-matrix driver materialization. ``sample_pct=100``
+    degenerates to the exhaustive fixture-scale eval (same single code
+    path). Both-sampled pairs are emitted once (batch-id < sample-id
+    keeps exactly one copy); pairs are canonical (min, max)."""
     q = _emb_quantized(spark, sf_dir).cache()
     tn, td = _COS_T
 
-    qpd = q.select("vec_id", "qv", "norm2").toPandas()
-    order = np.argsort(qpd["vec_id"].to_numpy())
-    ids_all = qpd["vec_id"].to_numpy()[order]
-    A = np.stack(qpd["qv"].to_numpy()[order]).astype(np.int64)
-    n2_all = qpd["norm2"].to_numpy()[order].astype(np.int64)
-    bc = spark.sparkContext.broadcast((ids_all, A, n2_all))
+    sample = q.filter(_md5_roll(F.col("vec_id")) < sample_pct)
+    spd = sample.select("vec_id", "qv", "norm2").toPandas()
+    order = np.argsort(spd["vec_id"].to_numpy())
+    ids_s = spd["vec_id"].to_numpy()[order].astype(np.int64)
+    S = np.stack(spd["qv"].to_numpy()[order]).astype(np.int64)
+    n2_s = spd["norm2"].to_numpy()[order].astype(np.int64)
+    bc = spark.sparkContext.broadcast((ids_s, S, n2_s))
 
     def fn(batches):
-        ids_a, Am, n2a = bc.value
+        ids_sv, Sm, n2sv = bc.value
+        s_set = set(int(x) for x in ids_sv)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             Qb = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
-            ids_b = pdf["vec_id"].to_numpy()
+            ids_b = pdf["vec_id"].to_numpy().astype(np.int64)
             n2b = pdf["norm2"].to_numpy().astype(np.int64)
-            dots = Qb @ Am.T  # (batch, n) int64
+            dots = Qb @ Sm.T  # (batch, s) int64
             # int64 throughout — identical to the Spark/DuckDB bigint
             # arithmetic (values are far inside the int64 range for
             # unit-scale embeddings: dot² · 400 < 4e17)
             ok = (dots > 0) & (
-                dots * dots * tn >= n2b[:, None] * n2a[None, :] * td
+                dots * dots * tn >= n2b[:, None] * n2sv[None, :] * td
             )
-            # i < j ordering on vec_id, one row per unordered pair
-            ok &= ids_b[:, None] < ids_a[None, :]
-            bi, ai = np.nonzero(ok)
+            ok &= ids_b[:, None] != ids_sv[None, :]  # no self pairs
+            # a pair with BOTH endpoints sampled appears in two batches'
+            # scoring; keep only the copy where the streamed id is the
+            # smaller one
+            in_s = np.fromiter(
+                (int(i) in s_set for i in ids_b), dtype=bool,
+                count=len(ids_b),
+            )
+            ok &= ~(in_s[:, None] & (ids_b[:, None] > ids_sv[None, :]))
+            bi, si = np.nonzero(ok)
             if len(bi):
                 yield pd.DataFrame(
-                    {"id_a": ids_b[bi], "id_b": ids_a[ai]}
+                    {
+                        "id_a": np.minimum(ids_b[bi], ids_sv[si]),
+                        "id_b": np.maximum(ids_b[bi], ids_sv[si]),
+                    }
                 )
 
     true_pairs = q.select("vec_id", "qv", "norm2").mapInPandas(
@@ -738,13 +764,18 @@ def dedup_embedding_recall(spark, sf_dir):
     )
 
 
-def dedup_embedding_recall_sql() -> str:
+def dedup_embedding_recall_sql(sample_pct: int = RECALL_SAMPLE_PCT) -> str:
     tn, td = _COS_T
+    roll = (
+        "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT % 100"
+    )
     return f"""
     WITH {_emb_base_sql()},
+    s AS (SELECT * FROM n WHERE {roll} < {sample_pct}),
     true_pairs AS (
-      SELECT x.vec_id AS id_a, y.vec_id AS id_b
-      FROM n x JOIN n y ON x.vec_id < y.vec_id
+      SELECT DISTINCT least(x.vec_id, y.vec_id) AS id_a,
+                      greatest(x.vec_id, y.vec_id) AS id_b
+      FROM s x JOIN n y ON x.vec_id != y.vec_id
       WHERE list_dot_product(x.qv, y.qv)::bigint > 0
         AND list_dot_product(x.qv, y.qv)::bigint
             * list_dot_product(x.qv, y.qv)::bigint * {tn}

@@ -72,3 +72,26 @@ def test_pandas_dot_equals_hof_dot(spark):
         (_dot("qa", "qb") - _dot_pandas("qa", "qb")).alias("d")
     ).filter(F.col("d") != 0)
     assert diff.count() == 0
+
+
+@pytest.mark.spark
+def test_recall_exhaustive_mode_matches_oracle(spark):
+    """sample_pct=100 degenerates the sampled recall eval to the
+    exhaustive all-pairs truth (round-3 behavior) — one code path, no
+    full-matrix special case."""
+    from table_recognition_spark.operators.dedup import (
+        dedup_embedding_recall,
+        dedup_embedding_recall_sql,
+    )
+
+    ok, detail = compare(
+        dedup_embedding_recall(spark, SF, sample_pct=100),
+        dedup_embedding_recall_sql(sample_pct=100),
+        SF,
+    )
+    assert ok, detail
+    row = dedup_embedding_recall(spark, SF, sample_pct=100).collect()[0]
+    sampled = dedup_embedding_recall(spark, SF).collect()[0]
+    # the sampled truth is a strict subset of the exhaustive truth
+    assert 0 < sampled["n_true"] < row["n_true"]
+    assert sampled["n_caught"] <= sampled["n_true"]
