@@ -8,13 +8,17 @@ public-spec (ITU-T T.81) baseline sequential DCT process:
 - decoder: SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS parsing, canonical Huffman
   tables via a 16-bit lookup, byte-unstuffing + restart-marker handling
   with numpy, interleaved MCU entropy decode, batch dequant + inverse
-  zigzag + one einsum IDCT per component, grayscale output (luma plane;
-  chroma components are entropy-decoded to keep the stream in sync and
-  discarded). Progressive (SOF2) and arithmetic coding are out of scope
+  zigzag + one einsum IDCT per component. Two outputs:
+  ``jpeg_decode_gray8`` (luma plane only — chroma entropy-decoded to
+  keep the stream in sync, not IDCT'd) and ``jpeg_decode_rgb`` (full
+  color: per-component IDCT, replication chroma upsampling, JFIF
+  YCbCr→RGB — what the reference's ``cv2.imread`` returns, channel-
+  reversed). Progressive (SOF2) and arithmetic coding are out of scope
   and raise.
-- encoder: grayscale baseline with the Annex-K example tables — used to
-  generate deterministic committed fixtures and round-trip tests (any
-  standards-compliant decoder reads its output).
+- encoder: baseline with the Annex-K example tables, grayscale
+  (``jpeg_encode_gray8``) and 4:4:4 color (``jpeg_encode_rgb``) — used
+  to generate deterministic committed fixtures and round-trip tests
+  (any standards-compliant decoder reads its output).
 
 Throughput note: entropy decoding is an inherently serial bit walk, done
 here as one python loop per coefficient run (~0.2-0.5 s for a megapixel
@@ -223,8 +227,11 @@ def _unstuff_scan(data: bytes, start: int):
     return segs, n
 
 
-def jpeg_decode_gray8(data: bytes) -> np.ndarray:
-    """Decode baseline-sequential JPEG bytes → (H, W) uint8 luma plane."""
+def _decode_components(data: bytes):
+    """Shared parse + entropy decode for every scan component. Returns
+    (comps, coefs_by_idx, qt, H, W, mcux, mcuy, hmax, vmax) where
+    coefs_by_idx[i] is the (n_blocks, 64) zigzag coefficient array of
+    component i in block-raster order."""
     data = bytes(data)
     if data[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG (missing SOI)")
@@ -316,9 +323,9 @@ def jpeg_decode_gray8(data: bytes) -> np.ndarray:
         c["bw"] = mcux * c["h"]  # blocks per row
         c["nb"] = n_mcu * c["h"] * c["v"]
 
-    # luma = first component; others are decoded and discarded
-    luma = comps[0]
-    coefs = np.zeros((luma["nb"], 64), dtype=np.int32)
+    coefs_by_idx = [
+        np.zeros((c["nb"], 64), dtype=np.int32) for c in comps
+    ]
 
     segs, _end = _unstuff_scan(data, i)
     mcu = 0
@@ -331,7 +338,7 @@ def jpeg_decode_gray8(data: bytes) -> np.ndarray:
         preds = {c["id"]: 0 for c in comps}
         for _k in range(min(per_seg, n_mcu - mcu)):
             my, mx = divmod(mcu, mcux)
-            for c in comps:
+            for ci, c in enumerate(comps):
                 dc_lut = dc_luts[c["dc"]]
                 ac_lut = ac_luts[c["ac"]]
                 for by in range(c["v"]):
@@ -340,32 +347,80 @@ def jpeg_decode_gray8(data: bytes) -> np.ndarray:
                         preds[c["id"]] = _decode_block(
                             br, dc_lut, ac_lut, preds[c["id"]], blk64
                         )
-                        if c is luma:
-                            bi = (my * c["v"] + by) * c["bw"] + (
-                                mx * c["h"] + bx
-                            )
-                            coefs[bi] = blk64
+                        bi = (my * c["v"] + by) * c["bw"] + (
+                            mx * c["h"] + bx
+                        )
+                        coefs_by_idx[ci][bi] = blk64
             mcu += 1
+    return comps, coefs_by_idx, qt, H, W, mcux, mcuy, hmax, vmax
 
-    # batch dequant + inverse zigzag + IDCT for the luma plane
-    dq = coefs * qt[luma["tq"]][None, :]
-    blocks = np.zeros((luma["nb"], 64), dtype=np.float64)
+
+def _comp_plane(c, coefs, qt, mcuy) -> np.ndarray:
+    """Dequant + inverse zigzag + batch IDCT one component's coefficient
+    array → its uint8 plane at the component's sampled resolution."""
+    dq = coefs * qt[c["tq"]][None, :]
+    blocks = np.zeros((c["nb"], 64), dtype=np.float64)
     blocks[:, _ZZ] = dq
     blocks = blocks.reshape(-1, 8, 8)
     pix = np.einsum("xu,nuv,yv->nxy", _A, blocks, _A)
     pix = np.clip(np.round(pix) + 128.0, 0, 255).astype(np.uint8)
-
-    bh = mcuy * luma["v"]
-    bw = luma["bw"]
-    plane = (
+    bh = mcuy * c["v"]
+    bw = c["bw"]
+    return (
         pix.reshape(bh, bw, 8, 8)
         .transpose(0, 2, 1, 3)
         .reshape(bh * 8, bw * 8)
     )
+
+
+def jpeg_decode_gray8(data: bytes) -> np.ndarray:
+    """Decode baseline-sequential JPEG bytes → (H, W) uint8 luma plane.
+    Chroma components are entropy-decoded (the stream interleaves them)
+    but not IDCT'd — :func:`jpeg_decode_rgb` is the color path."""
+    comps, coefs, qt, H, W, _mcux, mcuy, _hmax, _vmax = _decode_components(
+        data
+    )
     # luma plane covers ceil(W*h/hmax), crop to sample dims then to (H, W)
     # (for the common 4:4:4 / 4:2:0 layouts the first-component plane is
     # exactly the image raster)
-    return plane[:H, :W]
+    return _comp_plane(comps[0], coefs[0], qt, mcuy)[:H, :W]
+
+
+def jpeg_decode_rgb(data: bytes) -> np.ndarray:
+    """Decode baseline-sequential JPEG bytes → (H, W, 3) uint8 RGB.
+
+    Full color path: every component is dequantized + IDCT'd, chroma is
+    upsampled to the luma grid by pixel replication (the nearest-
+    neighbour upsampling JFIF permits; libjpeg's default "fancy"
+    upsampler interpolates — a ±1-2 LSB difference on real photos,
+    irrelevant for feature extraction), then the JFIF YCbCr→RGB
+    transform is applied. A grayscale stream (1 component) replicates
+    luma into all three channels — matching what ``cv2.imread`` (the
+    reference's reader, graph.py:103) returns for grayscale files."""
+    comps, coefs, qt, H, W, _mcux, mcuy, hmax, vmax = _decode_components(
+        data
+    )
+    y = _comp_plane(comps[0], coefs[0], qt, mcuy)[:H, :W].astype(
+        np.float64
+    )
+    if len(comps) < 3:
+        g = np.clip(np.round(y), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    planes = []
+    for ci in (1, 2):
+        c = comps[ci]
+        p = _comp_plane(c, coefs[ci], qt, mcuy)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        planes.append(p[:H, :W].astype(np.float64))
+    cb, cr = planes[0] - 128.0, planes[1] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
 
 
 def _encode_block(coefs_zz, pred, dc_lut_enc, ac_lut_enc, bits_out):
@@ -521,4 +576,82 @@ def jpeg_encode_gray8(
     out += seg(0xDA, bytes(sos))
     out += stuffed
     out += b"\xff\xd9"  # EOI
+    return out
+
+
+def _plane_qzz(plane: np.ndarray) -> np.ndarray:
+    """(H, W) plane → quantized zigzag blocks (n_blocks, 64) int64 in
+    raster block order (edge-replication padding to 8-multiples), using
+    the Annex-K luminance quant table — the same transform the gray
+    encoder applies."""
+    H, W = plane.shape
+    ph, pw = -(-H // 8) * 8, -(-W // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:H, :W] = plane
+    padded[H:, :W] = padded[H - 1 : H, :W]
+    padded[:, W:] = padded[:, W - 1 : W]
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        - 128.0
+    )
+    coefs = np.einsum("xu,nxy,yv->nuv", _A, blocks, _A)
+    qmat = np.zeros(64, dtype=np.int64)
+    qmat[_ZZ] = _Q50_LUM
+    q = np.round(coefs.reshape(-1, 64) / qmat[None, :]).astype(np.int64)
+    return q[:, _ZZ]
+
+
+def jpeg_encode_rgb(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB image as baseline 4:4:4 JFIF with
+    real chroma (JFIF RGB→YCbCr; Annex-K luminance tables for all three
+    components — legal, if suboptimal for compression). Deterministic;
+    the color counterpart of :func:`jpeg_encode_gray8` for fixtures and
+    the decoder's color round-trip tests."""
+    img = np.asarray(img, dtype=np.float64)
+    H, W, _ = img.shape
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    qzz = [_plane_qzz(p) for p in (y, cb, cr)]
+
+    dc_enc = _enc_table(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_enc = _enc_table(_AC_LUM_BITS, _AC_LUM_VALS)
+    parts: list = []
+    bits: list = []
+    preds = [0, 0, 0]
+    n_mcu = len(qzz[0])
+    for m in range(n_mcu):
+        for ci in range(3):
+            preds[ci] = _encode_block(
+                qzz[ci][m], preds[ci], dc_enc, ac_enc, bits
+            )
+    while len(bits) % 8:
+        bits.append(1)
+    payload = np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+    parts.append(payload.replace(b"\xff", b"\xff\x00"))
+    stuffed = b"".join(parts)
+
+    def seg(marker, body):
+        ln = len(body) + 2
+        return bytes([0xFF, marker, ln >> 8, ln & 0xFF]) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in _Q50_LUM))
+    sof = [8, H >> 8, H & 0xFF, W >> 8, W & 0xFF, 3]
+    for cid in (1, 2, 3):
+        sof += [cid, 0x11, 0]
+    out += seg(0xC0, bytes(sof))
+    out += seg(0xC4, bytes([0x00] + _DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+    out += seg(0xC4, bytes([0x10] + _AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+    sos = [3]
+    for cid in (1, 2, 3):
+        sos += [cid, 0x00]
+    sos += [0, 63, 0]
+    out += seg(0xDA, bytes(sos))
+    out += stuffed
+    out += b"\xff\xd9"
     return out

@@ -92,11 +92,15 @@ def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     )
 
 
-def crop_regions(gray: np.ndarray, bboxes: np.ndarray, edges: np.ndarray):
-    """Grayscale image + bboxes/edges → (node_crops (N,3,10,10),
-    edge_crops (E,3,16,16)) float32 in [0,255]."""
-    h, w = gray.shape
-    img = gray.astype(np.float32)
+def crop_regions(image: np.ndarray, bboxes: np.ndarray, edges: np.ndarray):
+    """Image + bboxes/edges → (node_crops (N,3,10,10), edge_crops
+    (E,3,16,16)) float32 in [0,255]. Accepts (H, W) grayscale
+    (replicated to 3 channels) or (H, W, 3) color (e.g.
+    ``jpeg_decode_rgb`` output — per-channel bilinear resize, matching
+    the reference's 3-channel ``cv2.imread`` crops, graph.py:174)."""
+    color = image.ndim == 3
+    h, w = image.shape[:2]
+    img = image.astype(np.float32)
 
     def crop(x0, y0, x1, y1, dim):
         x0 = max(int(x0) - CROP_PAD, 0)
@@ -105,7 +109,16 @@ def crop_regions(gray: np.ndarray, bboxes: np.ndarray, edges: np.ndarray):
         y1 = min(int(y1) + CROP_PAD, h)
         region = img[y0:y1, x0:x1]
         if region.size == 0:
-            region = np.zeros((1, 1), dtype=np.float32)
+            region = np.zeros(
+                (1, 1, 3) if color else (1, 1), dtype=np.float32
+            )
+        if color:
+            return np.stack(
+                [
+                    bilinear_resize(region[..., c], dim, dim)
+                    for c in range(3)
+                ]
+            ).astype(np.float32)
         r = bilinear_resize(region, dim, dim).astype(np.float32)
         return np.broadcast_to(r, (3, dim, dim))
 

