@@ -194,7 +194,13 @@ def recognize_tables(
             media_df.sparkSession.sparkContext.defaultParallelism * 8
         )
     if kernel_partitions:
-        cols = cols.repartition(kernel_partitions, "media_ref")
+        # round-robin, NOT hash-by-ref: each input row is one complete
+        # media (ref + all its ocr lines), so the kernel needs no key
+        # co-location — and hash partitioning leaves collision
+        # stragglers on small/skewed ref sets (two 300 ms visual-kernel
+        # images in one task = a 2× tail) where round-robin balances
+        # exactly
+        cols = cols.repartition(kernel_partitions)
     return cols.mapInArrow(
         _kernel_fn(weights_to_bytes(weights), strategy, model, g3_seed),
         schema=CELLS_SCHEMA,
