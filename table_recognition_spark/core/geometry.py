@@ -176,3 +176,123 @@ def edge_features(
         axis=1,
     )
     return feats.astype(np.float32)
+
+
+# --------------------------------------------------- J6 polygon visibility
+# The reference defines polygons_see_each_other (geometry_graph_colorer
+# .py:171-228) but never runs it: the call site is commented out (:159)
+# and the feature is commented out of the edge vector (:164), and the
+# inner split-bookkeeping branch is unreachable (split() returns either
+# >= 2 or <= 1 geoms, so the `else` arm can't execute). This is a
+# canonical respec over our bbox data model (node polygons ARE bbox
+# corner rectangles, reference node.py:30-35):
+#
+#   edge (a, b) is "visible" iff no third node's bbox strictly cuts the
+#   convex hull of a's and b's corners — i.e. overlaps the hull's
+#   interior with positive area (SAT over the hull-edge normals plus the
+#   two axis normals; touching boundaries don't cut, matching
+#   shapely.split's behavior of not splitting on a tangent), with one
+#   exception mirroring the reference's split() semantics: a bbox that
+#   CONTAINS the whole hull leaves no boundary inside it and therefore
+#   does not cut.
+#
+# The alphashape(α=0.5) hull of the reference degenerates to the convex
+# hull for two disjoint axis-aligned rectangles' corner sets, which is
+# the only shape the dead code could ever have received.
+
+
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns CCW hull vertices (k, 2)."""
+    pts = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+
+    def half(points):
+        out: list = []
+        for p in points:
+            while (
+                len(out) >= 2
+                and (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+                <= 0
+            ):
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def _rect_cuts_hull(hull: np.ndarray, rect: np.ndarray) -> bool:
+    """True iff the rect's boundary passes through the hull's interior:
+    positive-area overlap (strict SAT) and the rect does not contain the
+    entire hull."""
+    x0, y0, x1, y1 = rect
+    if (
+        hull[:, 0].min() >= x0
+        and hull[:, 0].max() <= x1
+        and hull[:, 1].min() >= y0
+        and hull[:, 1].max() <= y1
+    ):
+        return False  # rect swallows the hull: boundary never enters it
+    corners = np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64
+    )
+    # axis-aligned separating axes (rect normals)
+    if (
+        hull[:, 0].max() <= x0
+        or x1 <= hull[:, 0].min()
+        or hull[:, 1].max() <= y0
+        or y1 <= hull[:, 1].min()
+    ):
+        return False
+    # hull-edge normals
+    k = len(hull)
+    for i in range(k):
+        ex, ey = hull[(i + 1) % k] - hull[i]
+        nx, ny = -ey, ex  # inward for CCW
+        hp = hull @ (nx, ny)
+        rp = corners @ (nx, ny)
+        if rp.max() <= hp.min() or hp.max() <= rp.min():
+            return False
+    return True
+
+
+def polygons_see_each_other(
+    bboxes: np.ndarray, a: int, b: int
+) -> bool:
+    """J6 (canonical respec of reference dead code, see block comment):
+    do nodes ``a`` and ``b`` see each other — is the convex hull of
+    their corners uncut by every other node's bbox?"""
+    bx = np.asarray(bboxes, dtype=np.float64)
+    ca = bx[a]
+    cb = bx[b]
+    hull = _convex_hull(
+        np.array(
+            [
+                [ca[0], ca[1]], [ca[2], ca[1]], [ca[2], ca[3]], [ca[0], ca[3]],
+                [cb[0], cb[1]], [cb[2], cb[1]], [cb[2], cb[3]], [cb[0], cb[3]],
+            ]
+        )
+    )
+    for i in range(len(bx)):
+        if i == a or i == b:
+            continue
+        if _rect_cuts_hull(hull, bx[i]):
+            return False
+    return True
+
+
+def edge_visibility_features(
+    bboxes: np.ndarray, edges: np.ndarray
+) -> np.ndarray:
+    """Per-edge J6 feature column (float32 0/1), the value the reference
+    would have appended to the edge vector had :164 been uncommented.
+    Not part of the default 6-feature vector — kept optional exactly as
+    the reference keeps it disabled."""
+    out = np.empty(len(edges), dtype=np.float32)
+    for r, (s, d) in enumerate(np.asarray(edges)):
+        out[r] = float(polygons_see_each_other(bboxes, int(s), int(d)))
+    return out

@@ -82,3 +82,75 @@ def test_empty_edges():
     b = np.array([[0, 0, 20, 20]])
     f = edge_features(np.empty((0, 2), dtype=np.int64), b, 100, 100)
     assert f.shape == (0, 6)
+
+
+class TestPolygonVisibilityJ6:
+    """J6 canonical respec (reference geometry_graph_colorer.py:171-228,
+    dead code — call commented at :159). Scenario truth is geometric:
+    a third bbox blocks iff its boundary cuts the hull interior."""
+
+    def _see(self, bboxes, a=0, b=1):
+        import numpy as np
+
+        from table_recognition_spark.core.geometry import (
+            polygons_see_each_other,
+        )
+
+        return polygons_see_each_other(np.array(bboxes, dtype=float), a, b)
+
+    def test_no_third_node_sees(self):
+        assert self._see([[0, 0, 10, 10], [30, 0, 40, 10]])
+
+    def test_blocker_between(self):
+        assert not self._see(
+            [[0, 0, 10, 10], [30, 0, 40, 10], [15, 2, 25, 8]]
+        )
+
+    def test_blocker_outside_hull(self):
+        assert self._see(
+            [[0, 0, 10, 10], [30, 0, 40, 10], [15, 50, 25, 60]]
+        )
+
+    def test_touching_boundary_does_not_cut(self):
+        # shares the hull's top edge y=0..(-5) → only tangent contact
+        assert self._see(
+            [[0, 0, 10, 10], [30, 0, 40, 10], [15, -5, 25, 0]]
+        )
+
+    def test_containing_rect_does_not_cut(self):
+        # reference split() semantics: a bbox swallowing the whole hull
+        # leaves no boundary inside it
+        assert self._see(
+            [[0, 0, 10, 10], [30, 0, 40, 10], [-100, -100, 100, 100]]
+        )
+
+    def test_rect_inside_hull_cuts(self):
+        # diagonal pair → hull interior covers the middle; a small box
+        # fully inside the hull splits it
+        assert not self._see(
+            [[0, 0, 10, 10], [30, 30, 40, 40], [18, 18, 22, 22]]
+        )
+
+    def test_diagonal_corridor_clear(self):
+        # same diagonal pair; a box near the far corner is outside the
+        # hull (hull is the convex envelope of the two rects)
+        assert self._see(
+            [[0, 0, 10, 10], [30, 30, 40, 40], [32, 2, 38, 8]]
+        )
+
+    def test_feature_column(self):
+        import numpy as np
+
+        from table_recognition_spark.core.geometry import (
+            edge_visibility_features,
+        )
+
+        bboxes = np.array(
+            [[0, 0, 10, 10], [30, 0, 40, 10], [15, 2, 25, 8],
+             [15, 50, 25, 60]],
+            dtype=float,
+        )
+        edges = np.array([[0, 1], [0, 3], [2, 3]])
+        feats = edge_visibility_features(bboxes, edges)
+        assert feats.dtype == np.float32
+        assert feats.tolist() == [0.0, 1.0, 1.0]
