@@ -297,6 +297,26 @@ def init_weights(seed: int = 42) -> dict:
     return w
 
 
+def default_weights() -> dict:
+    """G3 weights resolution shared by the Spark kernel and the no-Spark
+    oracle (so parity holds by construction): the committed trained
+    artifact (``weights/g3_trained_seed42.npz`` — numpy-backprop-trained
+    by core/visual_train.py) when present, else the frozen seeded
+    init."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "weights",
+        "g3_trained_seed42.npz",
+    )
+    if os.path.exists(path):
+        data = np.load(path)
+        return {k: data[k] for k in data.files}
+    return init_weights(42)
+
+
 def _linear(w, name, x):
     return x @ w[name + ".w"] + w[name + ".b"]
 

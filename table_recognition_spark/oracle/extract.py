@@ -58,6 +58,8 @@ def run_kernel_arrays(
         from ..core import visual
         from ..fixtures.generate import png_decode_gray8
 
+        if visual_weights is None:
+            visual_weights = visual.default_weights()
         gray = png_decode_gray8(bytes(image))
         node_crops, edge_crops = visual.crop_regions(gray, bboxes, edges)
         node_lp, edge_lp = visual.forward(

@@ -49,8 +49,8 @@ OUT_SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
 _WEIGHTS_CACHE: dict = {}
 
 
-# per-worker G3 weights cache: ~15M params re-derived from the seed once
-# per executor process (too large to ship in the task closure)
+# per-worker G3 weights cache: the ~15M-param artifact is parsed from the
+# broadcast bytes once per executor process, not per batch
 _G3_CACHE: dict = {}
 
 
@@ -58,7 +58,7 @@ def _kernel_fn(
     weights_bytes: bytes,
     strategy: str = "knn",
     model: str = "g2",
-    g3_seed: int = 42,
+    g3_weights_bc=None,
 ):
     """Build the Arrow-batched kernel (``mapInArrow``).
 
@@ -86,12 +86,11 @@ def _kernel_fn(
             _WEIGHTS_CACHE[key] = w
         vw = None
         if model == "visual":
-            vw = _G3_CACHE.get(g3_seed)
+            gkey = id(g3_weights_bc)
+            vw = _G3_CACHE.get(gkey)
             if vw is None:
-                from ..core import visual
-
-                vw = visual.init_weights(g3_seed)
-                _G3_CACHE[g3_seed] = vw
+                vw = weights_from_bytes(g3_weights_bc.value)
+                _G3_CACHE[gkey] = vw
 
         for rb in batches:
             refs = rb.column(rb.schema.get_field_index("media_ref")).to_pylist()
@@ -174,12 +173,17 @@ def recognize_tables(
     kernel_partitions: int | None = None,
     strategy: str = "knn",
     model: str = "g2",
-    g3_seed: int = 42,
+    g3_weights: dict | None = None,
 ) -> DataFrame:
     """Distinct media rows → (media_ref, cell_idx, text) via the GNN kernel.
 
     model='visual' additionally reads the ``image`` binary column (the
-    only path that does — everything else prunes it at the scan)."""
+    only path that does — everything else prunes it at the scan) and
+    resolves its weights driver-side via ``visual.default_weights()``
+    (the committed trained artifact when present, else seeded init —
+    the same resolver the no-Spark oracle uses, so parity holds by
+    construction); the artifact ships to executors in the task closure
+    like the G2 weights."""
     cols = ["media_ref", "ocr_lines", "width", "height"]
     if model == "visual":
         cols.append("image")
@@ -201,8 +205,19 @@ def recognize_tables(
         # images in one task = a 2× tail) where round-robin balances
         # exactly
         cols = cols.repartition(kernel_partitions)
+    g3_bc = None
+    if model == "visual":
+        from ..core import visual
+
+        g3 = g3_weights if g3_weights is not None else visual.default_weights()
+        # ~55 MB of float32 params: a sparkContext.broadcast (torrent
+        # distribution, one copy per executor) — NOT the task closure,
+        # which would re-ship it with every stage's task binary
+        g3_bc = media_df.sparkSession.sparkContext.broadcast(
+            weights_to_bytes(g3)
+        )
     return cols.mapInArrow(
-        _kernel_fn(weights_to_bytes(weights), strategy, model, g3_seed),
+        _kernel_fn(weights_to_bytes(weights), strategy, model, g3_bc),
         schema=CELLS_SCHEMA,
     )
 
@@ -227,7 +242,7 @@ def _all_spans(
     broadcast_cells: bool | None = None,
     strategy: str = "knn",
     model: str = "g2",
-    g3_seed: int = 42,
+    g3_weights: dict | None = None,
 ) -> DataFrame:
     """Shared pipeline core → un-numbered output spans
     (doc_id, orig_offset, sub_idx, kind, text, media_ref)."""
@@ -260,7 +275,7 @@ def _all_spans(
         media_cols.append("image")
     kernel_input = refs.join(media_df.select(*media_cols), "media_ref")
     cells = recognize_tables(
-        kernel_input, weights, kernel_partitions, strategy, model, g3_seed
+        kernel_input, weights, kernel_partitions, strategy, model, g3_weights
     )
     if broadcast_cells:
         cells = F.broadcast(cells)

@@ -84,7 +84,10 @@ def test_pipeline_parity_visual(spark, weights):
         ]
         for r in extract(docs_df, media_df, weights, model="visual").collect()
     }
-    vw = visual.init_weights(42)
+    # same resolver the Spark kernel uses (trained artifact when
+    # present, else seeded init) — parity must hold for whichever the
+    # repo currently ships
+    vw = visual.default_weights()
     exp = {
         k: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in v]
         for k, v in extract_corpus(
