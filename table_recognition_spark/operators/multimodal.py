@@ -95,6 +95,22 @@ def decode_image(data: bytes) -> np.ndarray:
     raise NotImplementedError(f"unknown image container: {data[:8]!r}")
 
 
+def decode_image_visual(data: bytes) -> np.ndarray:
+    """Decode an image for the G3 visual path: JPEG streams decode to
+    (H, W, 3) color via ``jpeg_decode_rgb`` — matching the 3-channel
+    ``cv2.imread`` the reference feeds its CNN (graph.py:174) — while
+    PNG (our grayscale fixture container) stays (H, W) and is
+    replicated to 3 channels inside ``crop_regions``. Unknown
+    containers defer to the injectable registry via
+    :func:`decode_image`."""
+    head = bytes(data[:8])
+    if head.startswith(JPEG_MAGIC):
+        from ..core.jpeg import jpeg_decode_rgb
+
+        return jpeg_decode_rgb(bytes(data))
+    return decode_image(data)
+
+
 def decode_audio(data: bytes) -> np.ndarray:
     """Decode an audio payload → (float32 mono samples in [-1, 1],
     sample_rate). RIFF/WAVE PCM (8/16/32-bit int) is built in via the

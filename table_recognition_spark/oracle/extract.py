@@ -56,12 +56,16 @@ def run_kernel_arrays(
     e = geometry.edge_features(edges, bboxes, width, height)
     if model == "visual":
         from ..core import visual
-        from ..fixtures.generate import png_decode_gray8
+        from ..operators.multimodal import decode_image_visual
 
         if visual_weights is None:
             visual_weights = visual.default_weights()
-        gray = png_decode_gray8(bytes(image))
-        node_crops, edge_crops = visual.crop_regions(gray, bboxes, edges)
+        # codec registry: PNG fixtures stay grayscale (replicated to 3
+        # channels in crop_regions); JPEG — the reference's actual
+        # corpus container — decodes to (H, W, 3) color like the
+        # reference's cv2.imread
+        img = decode_image_visual(bytes(image))
+        node_crops, edge_crops = visual.crop_regions(img, bboxes, edges)
         node_lp, edge_lp = visual.forward(
             x, edges, e, node_crops, edge_crops, visual_weights
         )

