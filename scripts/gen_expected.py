@@ -45,6 +45,7 @@ EXPECTED_QUERIES = [
     "media_patch_embeddings",
     "media_audio_stats",
     "media_video_frame_stats",
+    "sim_ivf_topk",
 ]
 
 

@@ -322,3 +322,138 @@ ORACLES = {
     "sim_label_centroid_topk": sim_label_centroid_topk_sql(),
     "sim_ann_recall": sim_ann_recall_sql(),
 }
+
+
+# ----------------------------------------------------------------- IVF ANN
+# True IVF (inverted-file) ANN — the scale path past the label-centroid
+# building block above: train a coarse quantizer (k-means) on a bounded
+# sample, broadcast the centroid table, assign every vector to its
+# nearest centroid (one vectorized pandas batch), then answer queries by
+# probing only the N_PROBE nearest clusters and exact-ranking inside
+# them. At 100 TB the assignment is a scan-side map, the probe is an
+# equi-join on cluster id, and the candidate set is |corpus|·nprobe/k —
+# never n².
+#
+# Determinism (this is what makes the committed-expected-parquet oracle
+# sound): the k-means sample is the md5-roll of vec_id (same key the
+# dedup recall eval uses), init = the k lowest-vec_id sampled vectors,
+# Lloyd's runs a FIXED 5 iterations in float64 on the integer-quantized
+# vectors, empty clusters keep their previous centroid, and every argmin
+# tie resolves to the lowest index.
+
+IVF_CLUSTERS = 16
+IVF_PROBE = 6  # 6/16 clusters probed -> 0.68 top-10 recall on the fixture (vs 0.54 at 4, 0.80 at 8); random unit vectors are the adversarial case for a coarse quantizer
+IVF_ITERS = 5
+IVF_SAMPLE_PCT = 50
+
+
+def _ivf_train_centroids(sample_qv: np.ndarray) -> np.ndarray:
+    """Seeded deterministic Lloyd's; sample_qv (s, d) int64 sorted by
+    vec_id; returns (k, d) float64 centroids."""
+    k = min(IVF_CLUSTERS, len(sample_qv))
+    x = sample_qv.astype(np.float64)
+    cent = x[:k].copy()
+    for _ in range(IVF_ITERS):
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def sim_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k for the first N_QUERIES vectors: nearest-centroid
+    assignment, N_PROBE-cluster probe, exact integer-dot rank within
+    the probed candidates (self excluded). Non-SQL-expressible
+    (iterative k-means) → committed-expected-parquet oracle."""
+    from pyspark.sql import SparkSession
+
+    q = _quantized(load(spark, sf_dir, "embeddings")).cache()
+    roll = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 100
+    )
+    sample = (
+        q.filter(roll < IVF_SAMPLE_PCT)
+        .select("vec_id", "qv")
+        .orderBy("vec_id")
+        .limit(4096)  # bounded driver materialization at any corpus size
+        .toPandas()
+    )
+    order = np.argsort(sample["vec_id"].to_numpy())
+    cent = _ivf_train_centroids(
+        np.stack(sample["qv"].to_numpy()[order]).astype(np.int64)
+    )
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("int")
+    def nearest_cluster(qv: pd.Series) -> pd.Series:
+        c = bc.value
+        if len(qv) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(qv.to_numpy()).astype(np.float64)
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    assigned = q.withColumn("cluster", nearest_cluster("qv"))
+
+    @F.pandas_udf("array<int>")
+    def probe_clusters(qv: pd.Series) -> pd.Series:
+        c = bc.value
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(qv.to_numpy()).astype(np.float64)
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        k = min(IVF_PROBE, d2.shape[1])
+        # stable nearest-k cluster ids (distance, then index)
+        part = np.argsort(d2, axis=1, kind="stable")[:, :k]
+        return pd.Series(list(part.astype(np.int32)))
+
+    queries = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("q_qv"),
+            probe_clusters("qv").alias("probes"),
+        )
+        .select(
+            "query_id", "q_qv", F.explode("probes").alias("cluster")
+        )
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(
+            assigned.select("vec_id", "qv", "cluster"),
+            ["cluster"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", _dot_pandas("q_qv", "qv").alias("dot_q")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "dot_q")
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES["sim_ivf_topk"] = sim_ivf_topk
