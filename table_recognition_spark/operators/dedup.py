@@ -974,6 +974,125 @@ def dedup_groups_cc_sql() -> str:
     """
 
 
+# --- benchmark decontamination ----------------------------------------
+#
+# Standard training-pipeline hygiene (the GPT-3 / Llama "n-gram
+# decontamination" pass): flag training documents whose n-gram content
+# overlaps a held-out benchmark/eval set, so eval items don't leak into
+# the training corpus. No reference counterpart — brief-scope
+# ("operations a large-scale training-data pipeline would need").
+#
+# Deterministic synthetic setup (no external data): the "benchmark" is
+# the md5-roll < DECONTAM_BENCH_PCT slice of the documents table (the
+# same cross-engine sampling key the stratified sampler uses), the
+# training side is the remaining docs PLUS planted contaminated copies
+# (each benchmark doc re-ingested under doc_id+1_000_000 with one
+# appended token — a realistic "benchmark text pasted into a web page"
+# leak). Natural 3-gram collisions from the shared vocabulary give a
+# low background overlap (~2%); planted leaks sit near 100%; the flag
+# threshold (overlap ≥ 25% of the doc's distinct shingles) separates
+# them with a wide margin and is compared in pure integer arithmetic.
+#
+# Scale shape (100 TB design point): the benchmark shingle universe is
+# tiny (eval sets are ~10⁴-10⁶ items) → broadcast; the training side is
+# explode → broadcast-hash semi-join → one hash aggregation on doc_id.
+# One shuffle total, no self-join, no cross product.
+
+DECONTAM_BENCH_PCT = 5
+DECONTAM_PLANT_OFFSET = 1_000_000
+
+
+def _decontam_corpus(docs):
+    """(benchmark_df, training_df) — deterministic split + planted leaks."""
+    roll = _md5_roll(F.col("doc_id"))
+    bench = docs.filter(roll < DECONTAM_BENCH_PCT).select("doc_id", "text")
+    planted = bench.select(
+        (F.col("doc_id") + DECONTAM_PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    train = (
+        docs.filter(roll >= DECONTAM_BENCH_PCT)
+        .select("doc_id", "text")
+        .unionAll(planted)
+    )
+    return bench, train
+
+
+def decontaminate_ngram(spark, sf_dir):
+    """Training docs contaminated by benchmark n-grams.
+
+    Output: (doc_id, overlap_ngrams, total_ngrams, contam_bps) for every
+    training doc whose distinct-3-gram overlap with the benchmark
+    shingle universe is ≥ 25% (4·overlap ≥ total), ordered by doc_id.
+    ``contam_bps`` = basis points of overlap, integer division (exact
+    cross-engine).
+    """
+    docs = load(spark, sf_dir, "documents")
+    bench, train = _decontam_corpus(docs)
+    bench_sh = (
+        _shingle_df(bench)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    tr = _shingle_df(train)
+    overlap = (
+        tr.select("doc_id", F.explode("shingles").alias("sh"))
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap_ngrams"))
+    )
+    return (
+        tr.select(
+            "doc_id", F.size("shingles").cast("long").alias("total_ngrams")
+        )
+        .join(overlap, "doc_id")
+        .filter(F.col("overlap_ngrams") * 4 >= F.col("total_ngrams"))
+        .withColumn(
+            "contam_bps",
+            F.expr("(10000 * overlap_ngrams) div total_ngrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_ngram_sql() -> str:
+    sh = _shingles_sql(tokens_sql("text"))
+    return f"""
+    WITH rolls AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % 100 AS roll
+      FROM documents
+    ),
+    bench AS (
+      SELECT doc_id, text FROM rolls WHERE roll < {DECONTAM_BENCH_PCT}
+    ),
+    train AS (
+      SELECT doc_id, text FROM rolls WHERE roll >= {DECONTAM_BENCH_PCT}
+      UNION ALL
+      SELECT doc_id + {DECONTAM_PLANT_OFFSET}, text || ' zz' FROM bench
+    ),
+    bsh AS (
+      SELECT DISTINCT unnest(list_distinct({sh})) AS sh FROM bench
+    ),
+    tsh AS (
+      SELECT doc_id, list_distinct({sh}) AS shingles FROM train
+    ),
+    ov AS (
+      SELECT doc_id, count(*) AS overlap_ngrams
+      FROM (SELECT doc_id, unnest(shingles) AS sh FROM tsh) e
+      JOIN bsh USING (sh)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, o.overlap_ngrams,
+           CAST(len(t.shingles) AS BIGINT) AS total_ngrams,
+           (10000 * o.overlap_ngrams) // len(t.shingles) AS contam_bps
+    FROM tsh t JOIN ov o USING (doc_id)
+    WHERE o.overlap_ngrams * 4 >= len(t.shingles)
+    ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -982,6 +1101,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_recall": dedup_embedding_recall,
     "dedup_groups_cc": dedup_groups_cc,
+    "decontaminate_ngram": decontaminate_ngram,
 }
 
 ORACLES = {
@@ -992,4 +1112,5 @@ ORACLES = {
     "dedup_embedding_cosine": dedup_embedding_cosine_sql(),
     "dedup_embedding_recall": dedup_embedding_recall_sql(),
     "dedup_groups_cc": dedup_groups_cc_sql(),
+    "decontaminate_ngram": decontaminate_ngram_sql(),
 }

@@ -121,3 +121,33 @@ def test_batch_udf_shingles_equal_hof(spark, adversarial_dir):
     b = {r["doc_id"]: sorted(r["shingles"])
          for r in _shingle_df_hof(docs).collect()}
     assert a == b
+
+
+@pytest.mark.spark
+def test_decontaminate_flags_all_planted_leaks(spark):
+    """Every planted benchmark copy (doc_id >= plant offset) must be
+    flagged, and its contamination must dominate the natural background."""
+    from pyspark.sql import functions as F
+
+    from table_recognition_spark.operators.common import load
+    from table_recognition_spark.operators.dedup import (
+        DECONTAM_BENCH_PCT,
+        DECONTAM_PLANT_OFFSET,
+        _md5_roll,
+        decontaminate_ngram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = decontaminate_ngram(spark, sf)
+    rows = {r.doc_id: r for r in out.collect()}
+
+    n_bench = (
+        load(spark, sf, "documents")
+        .filter(_md5_roll(F.col("doc_id")) < DECONTAM_BENCH_PCT)
+        .count()
+    )
+    planted = [d for d in rows if d >= DECONTAM_PLANT_OFFSET]
+    assert len(planted) == n_bench  # no planted leak escapes
+    # planted copies: near-total overlap (only the appended-token
+    # shingles are novel)
+    assert all(rows[d].contam_bps >= 9000 for d in planted)
