@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_embedding_recall",
     "dedup_groups_cc",
+    "decontaminate_ngram",
     "sim_bruteforce_topk",
     "sim_lsh_ann_topk",
     "sim_label_centroid_topk",
