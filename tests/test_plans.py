@@ -119,3 +119,16 @@ def test_jaccard_df_cap_before_pair_join(spark):
     assert f"<= {dedup.JACCARD_DF_CAP}" in p, p[:1500]
     spark.catalog.clearCache()
     _ = F
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    """The benchmark shingle universe must reach the training side as a
+    broadcast-hash join (eval sets are tiny vs the corpus); a refactor
+    that shuffles the full training explode against it, or degrades to
+    a nested-loop product, dies at 100 TB."""
+    from table_recognition_spark.operators.dedup import decontaminate_ngram
+
+    p = _formatted_plan(decontaminate_ngram(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p, p[:1200]
+    assert "CartesianProduct" not in p, p[:1200]
+    assert "BroadcastNestedLoopJoin" not in p, p[:1200]
