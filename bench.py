@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "text_rolling_fingerprint",
     "text_dom_main_block",
     "text_sample_stratified",
+    "text_bm25_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_ngram",

@@ -240,12 +240,138 @@ def sample_stratified_sql() -> str:
     """
 
 
+# --- BM25-shaped retrieval ---------------------------------------------
+#
+# Inverted-index text retrieval: rank documents against a query-term
+# set with a BM25-shaped score. Deviation from textbook BM25, by
+# design: the idf log is replaced by its rational argument
+# (2(N-df)+1)/(2df+1) — same monotonicity in df, but the whole score
+# stays in integer arithmetic (scaled micro-units, truncating integer
+# division), so Spark and DuckDB agree bit-for-bit; a float ln differs
+# across libm implementations at the ULP and can flip a top-k ordering.
+#
+# Scale shape (100 TB design point): the corpus-wide work is ONE
+# explode + groupBy(doc_id) for document lengths (the same shuffle
+# doc_stats pays); the query-term tf aggregation filters the token
+# stream to |q| terms BEFORE its groupBy, so its shuffle carries only
+# matching postings; df/idf (|q| rows) and the corpus scalars (1 row)
+# ride along as broadcasts. No per-query rescan of text, no UDFs.
+
+BM25_K1_M = 1200  # k1 = 1.2, milli-scaled
+BM25_B_M = 750  # b = 0.75, milli-scaled
+BM25_QUERY_TERMS = ["table", "scan", "join", "window"]
+BM25_TOPK = 20
+
+
+def bm25_topk(spark, sf_dir, terms=None, k: int = BM25_TOPK):
+    """Top-k docs for a query-term set under the rational-idf BM25
+    respec (see module comment). Output: (doc_id, n_terms_hit,
+    score_micro), score descending then doc_id."""
+    terms = terms or BM25_QUERY_TERMS
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("(1000 * sum(dl)) div count(*)").alias("avgdl_m"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = (
+        df_t.crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            F.expr(
+                "(1000000 * (2 * (n_docs - df) + 1)) div (2 * df + 1)"
+            ).alias("idf_micro"),
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(idf), "token")
+        .withColumn(
+            "x_m",
+            F.expr(
+                f"(1000 - {BM25_B_M}) + ({BM25_B_M} * 1000 * dl) div avgdl_m"
+            ),
+        )
+        .withColumn(
+            "den_m",
+            F.expr(f"1000 * tf + ({BM25_K1_M} * x_m) div 1000"),
+        )
+        .withColumn(
+            "contrib",
+            F.expr(
+                f"(idf_micro * ((1000000 * tf * ({BM25_K1_M} + 1000))"
+                " div (1000 * den_m))) div 1000000"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_hit"),
+            F.sum("contrib").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(terms=None, k: int = BM25_TOPK) -> str:
+    terms = terms or BM25_QUERY_TERMS
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs, (1000 * sum(dl)) // count(*) AS avgdl_m
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token IN ({tlist}) GROUP BY doc_id, token
+    ),
+    idf AS (
+      SELECT token,
+             (1000000 * (2 * (s.n_docs - df) + 1)) // (2 * df + 1)
+               AS idf_micro
+      FROM (SELECT token, count(*) AS df FROM tf GROUP BY token), stats s
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             (idf.idf_micro *
+              ((1000000 * tf.tf * ({BM25_K1_M} + 1000)) //
+               (1000 * (1000 * tf.tf +
+                ({BM25_K1_M} * ((1000 - {BM25_B_M}) +
+                 ({BM25_B_M} * 1000 * dl.dl) // s.avgdl_m)) // 1000))))
+             // 1000000 AS contrib
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN idf ON tf.token = idf.token, stats s
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+           CAST(sum(contrib) AS BIGINT) AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT {k}
+    """
+
+
 QUERIES = {
     "text_doc_stats": doc_stats,
     "text_token_topk": token_topk,
     "text_rolling_fingerprint": rolling_fingerprint,
     "text_dom_main_block": dom_main_block,
     "text_sample_stratified": sample_stratified,
+    "text_bm25_topk": bm25_topk,
 }
 
 ORACLES = {
@@ -254,4 +380,5 @@ ORACLES = {
     "text_rolling_fingerprint": rolling_fingerprint_sql(),
     "text_dom_main_block": dom_main_block_sql(),
     "text_sample_stratified": sample_stratified_sql(),
+    "text_bm25_topk": bm25_topk_sql(),
 }
