@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "text_dom_main_block",
     "text_sample_stratified",
     "text_bm25_topk",
+    "text_repetition_filter",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_ngram",

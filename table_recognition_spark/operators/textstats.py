@@ -365,6 +365,117 @@ def bm25_topk_sql(terms=None, k: int = BM25_TOPK) -> str:
     """
 
 
+# --- repetition-based quality filter -----------------------------------
+#
+# The Gopher/MassiveText repetition rules (Rae et al. 2021, Table A1):
+# flag documents dominated by repeated n-grams. Implemented on 2-grams:
+# top-2-gram share (count of the most frequent bigram / total bigrams)
+# and duplicate-2-gram fraction (share of bigram occurrences whose
+# bigram appears more than once). Both in basis points via truncating
+# integer division — exact cross-engine.
+#
+# The testdata corpus is seeded word soup with no heavy repetition, so
+# the operator plants repetitive docs deterministically (every 13th
+# doc's text becomes its own first-6-token phrase repeated 10×) —
+# mirroring the dedup operators' planted-corpus pattern. Flag rule:
+# top-2-gram share ≥ 10% (planted ≈ 17%, natural ≈ 4-6%).
+#
+# Scale shape: explode bigrams → ONE hash aggregation on
+# (doc_id, bigram) → ONE on doc_id. Both shuffles are keyed by doc
+# (never by bigram globally), so hot bigrams don't skew; no join at all.
+
+REPETITION_PLANT_MOD = 13
+REPETITION_FLAG_BP = 1000  # top-2-gram share ≥ 10%
+
+
+def _with_planted_repetition(docs):
+    toks = tokens(F.col("text"))
+    phrase = F.concat_ws(" ", F.slice(toks, 1, 6))
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % REPETITION_PLANT_MOD == 0,
+            F.trim(F.repeat(F.concat(phrase, F.lit(" ")), 10)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def repetition_filter(spark, sf_dir):
+    """Docs flagged by the top-2-gram repetition rule. Output:
+    (doc_id, n_bigrams, top_bigram_n, dup_bigram_bp), doc_id order."""
+    docs = _with_planted_repetition(load(spark, sf_dir, "documents"))
+    from .dedup import _shingles
+
+    big = docs.select(
+        "doc_id",
+        F.explode(_shingles(tokens(F.col("text")), 2)).alias("bigram"),
+    )
+    per_bigram = big.groupBy("doc_id", "bigram").agg(
+        F.count("*").alias("n")
+    )
+    per_doc = per_bigram.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.max("n").alias("top_bigram_n"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias(
+            "dup_n"
+        ),
+    )
+    return (
+        per_doc.filter(
+            (F.col("top_bigram_n") > 1)  # a bigram must actually repeat
+            & (
+                F.col("top_bigram_n") * 10000
+                >= F.col("n_bigrams") * REPETITION_FLAG_BP
+            )
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_bigram_n",
+            F.expr("(10000 * dup_n) div n_bigrams").alias("dup_bigram_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repetition_filter_sql() -> str:
+    from .dedup import _shingles_sql
+
+    toks = tokens_sql("text")
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {REPETITION_PLANT_MOD} = 0
+                  THEN trim(repeat(
+                         array_to_string(list_slice({toks}, 1, 6), ' ')
+                         || ' ', 10))
+                  ELSE text END AS text
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, unnest({_shingles_sql(tokens_sql('text'), 2)}) AS bigram
+      FROM planted
+    ),
+    per_bigram AS (
+      SELECT doc_id, bigram, count(*) AS n FROM big GROUP BY doc_id, bigram
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+             CAST(max(n) AS BIGINT) AS top_bigram_n,
+             CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_n
+      FROM per_bigram GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, top_bigram_n,
+           (10000 * dup_n) // n_bigrams AS dup_bigram_bp
+    FROM per_doc
+    WHERE top_bigram_n > 1
+      AND top_bigram_n * 10000 >= n_bigrams * {REPETITION_FLAG_BP}
+    ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "text_doc_stats": doc_stats,
     "text_token_topk": token_topk,
@@ -372,6 +483,7 @@ QUERIES = {
     "text_dom_main_block": dom_main_block,
     "text_sample_stratified": sample_stratified,
     "text_bm25_topk": bm25_topk,
+    "text_repetition_filter": repetition_filter,
 }
 
 ORACLES = {
@@ -381,4 +493,5 @@ ORACLES = {
     "text_dom_main_block": dom_main_block_sql(),
     "text_sample_stratified": sample_stratified_sql(),
     "text_bm25_topk": bm25_topk_sql(),
+    "text_repetition_filter": repetition_filter_sql(),
 }
