@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "text_sample_stratified",
     "text_bm25_topk",
     "text_repetition_filter",
+    "text_pii_scrub",
+    "text_chunk_fixed",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_ngram",

@@ -476,6 +476,188 @@ def repetition_filter_sql() -> str:
     """
 
 
+# --- PII redaction ------------------------------------------------------
+#
+# A training corpus must scrub emails / phone numbers / IP addresses
+# before the text reaches a model. Pure JVM `regexp_replace` /
+# `regexp_extract_all` chain — whole-stage codegen, no Python, map-only
+# (the single shuffle is the deterministic output orderBy, which a
+# production run drops). The regexes use only character classes and
+# bounded quantifiers so Java (Spark) and RE2 (DuckDB) agree exactly;
+# both engines count non-overlapping leftmost matches.
+#
+# The seeded corpus contains no PII, so every 11th doc gets a
+# deterministic (email, phone, IP) triple derived from doc_id appended —
+# the same planted-corpus pattern as the dedup/repetition operators.
+# Counts are measured per-category on the pre-scrub text; the scrub
+# itself replaces email → phone → IP in that fixed order.
+
+PII_PLANT_MOD = 11
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def _with_planted_pii(docs):
+    did = F.col("doc_id")
+    pii = F.concat(
+        F.lit(" contact u"),
+        did.cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10.0."),
+        (did % 256).cast("string"),
+        F.lit("."),
+        ((did * 7) % 256).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(did % PII_PLANT_MOD == 0, F.concat(F.col("text"), pii))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def pii_scrub(spark, sf_dir):
+    """Docs with ≥1 redaction: per-category match counts plus the md5 of
+    the scrubbed text (email→<EMAIL>, phone→<PHONE>, IP→<IP>)."""
+    docs = _with_planted_pii(load(spark, sf_dir, "documents"))
+    t = F.col("text")
+    n_email = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    n_phone = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0))
+    n_ip = F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_email.alias("n_email"),
+            n_phone.alias("n_phone"),
+            n_ip.alias("n_ip"),
+            F.md5(scrubbed).alias("scrubbed_md5"),
+        )
+        .filter(F.col("n_email") + F.col("n_phone") + F.col("n_ip") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def pii_scrub_sql() -> str:
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {PII_PLANT_MOD} = 0
+                  THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_email,
+             len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phone,
+             len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ip,
+             md5(regexp_replace(regexp_replace(regexp_replace(
+                   text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g'),
+                   '{IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5
+      FROM planted
+    )
+    SELECT * FROM scored
+    WHERE n_email + n_phone + n_ip > 0
+    ORDER BY doc_id
+    """
+
+
+# --- fixed-size chunking with overlap -----------------------------------
+#
+# Context-window packing: split each document into CHUNK_SIZE-token
+# chunks on a CHUNK_STRIDE-token stride (CHUNK_SIZE - CHUNK_STRIDE
+# tokens of overlap). Chunk starts are 1, 1+S, 2S+1, ... up to
+# max(n_tokens - overlap, 1), so every token lands in ≥1 chunk and no
+# degenerate all-overlap tail chunk is emitted. Map-only: tokenize →
+# sequence() of starts → posexplode → slice; the only shuffle is the
+# deterministic output orderBy. At 100 TB this is the shape you want —
+# chunking never leaves the input partition.
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_fixed(spark, sf_dir):
+    """One row per (doc, chunk): chunk_id, token count, md5 of the
+    space-joined chunk text."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    overlap = CHUNK_SIZE - CHUNK_STRIDE
+    t = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size("toks") - F.lit(overlap), F.lit(1)),
+            F.lit(CHUNK_STRIDE),
+        ).alias("starts"),
+    )
+    return (
+        t.select(
+            "doc_id",
+            "toks",
+            F.posexplode("starts").alias("chunk_id", "start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(F.slice("toks", F.col("start"), F.lit(CHUNK_SIZE))).alias(
+                "n_chunk_tokens"
+            ),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("toks", F.col("start"), F.lit(CHUNK_SIZE))
+                )
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def chunk_fixed_sql() -> str:
+    toks = tokens_sql("text")
+    overlap = CHUNK_SIZE - CHUNK_STRIDE
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(
+               1, greatest(len(toks) - {overlap}, 1), {CHUNK_STRIDE}
+             )) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+           len(list_slice(toks, start, start + {CHUNK_SIZE} - 1))
+             AS n_chunk_tokens,
+           md5(array_to_string(
+                 list_slice(toks, start, start + {CHUNK_SIZE} - 1), ' '))
+             AS chunk_md5
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """
+
+
 QUERIES = {
     "text_doc_stats": doc_stats,
     "text_token_topk": token_topk,
@@ -484,6 +666,8 @@ QUERIES = {
     "text_sample_stratified": sample_stratified,
     "text_bm25_topk": bm25_topk,
     "text_repetition_filter": repetition_filter,
+    "text_pii_scrub": pii_scrub,
+    "text_chunk_fixed": chunk_fixed,
 }
 
 ORACLES = {
@@ -494,4 +678,6 @@ ORACLES = {
     "text_sample_stratified": sample_stratified_sql(),
     "text_bm25_topk": bm25_topk_sql(),
     "text_repetition_filter": repetition_filter_sql(),
+    "text_pii_scrub": pii_scrub_sql(),
+    "text_chunk_fixed": chunk_fixed_sql(),
 }
