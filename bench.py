@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "text_repetition_filter",
     "text_pii_scrub",
     "text_chunk_fixed",
+    "text_pack_sequences",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_ngram",

@@ -658,6 +658,103 @@ def chunk_fixed_sql() -> str:
     """
 
 
+# --- sequence packing ---------------------------------------------------
+#
+# Pretraining context-window packing: greedily pack documents (in
+# doc_id order) into bins of ≤ PACK_BUDGET tokens, a new bin whenever
+# the next doc would overflow a non-empty bin. Packing is inherently
+# sequential, so the unit of sequential work is made explicit in the
+# semantics: docs are packed independently per (source, shard) with
+# shard = doc_id % PACK_SHARDS — embarrassingly parallel across shards,
+# and at 100 TB you raise PACK_SHARDS until a shard's doc list fits one
+# task. Spark runs one Arrow batch per group (`applyInPandas`, numpy
+# arrays, one O(n) scan — the documented scalar loop; a numba/cython
+# kernel is the drop-in seam). The DuckDB oracle replays the same
+# recurrence as a recursive CTE.
+
+PACK_BUDGET = 512
+PACK_SHARDS = 4
+
+_PACK_SCHEMA = (
+    "doc_id long, source string, shard int, n_tokens long, bin_id long"
+)
+
+
+def _pack_group(pdf):
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    nt = pdf["n_tokens"].to_numpy(np.int64)
+    bins = np.empty(len(nt), np.int64)
+    fill, b = 0, 0
+    for i, t in enumerate(nt):
+        if fill > 0 and fill + t > PACK_BUDGET:
+            b += 1
+            fill = t
+        else:
+            fill += t
+        bins[i] = b
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "source": pdf["source"],
+            "shard": pdf["shard"],
+            "n_tokens": nt,
+            "bin_id": bins,
+        }
+    )
+
+
+def pack_sequences(spark, sf_dir):
+    """One row per doc: its greedy token-packing bin within
+    (source, shard = doc_id % PACK_SHARDS), budget PACK_BUDGET."""
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return (
+        sized.groupBy("source", "shard")
+        .applyInPandas(_pack_group, _PACK_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+def pack_sequences_sql() -> str:
+    toks = tokens_sql("text")
+    return f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, source,
+             CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+             CAST(len({toks}) AS BIGINT) AS n_tokens,
+             row_number() OVER (
+               PARTITION BY source, doc_id % {PACK_SHARDS}
+               ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.source, t.shard, t.n_tokens, t.rn,
+             CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > {PACK_BUDGET}
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > {PACK_BUDGET}
+                  THEN t.n_tokens ELSE p.fill + t.n_tokens END
+      FROM t
+      JOIN packed p
+        ON t.source = p.source AND t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, source, shard, n_tokens, bin_id
+    FROM packed
+    ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "text_doc_stats": doc_stats,
     "text_token_topk": token_topk,
@@ -668,6 +765,7 @@ QUERIES = {
     "text_repetition_filter": repetition_filter,
     "text_pii_scrub": pii_scrub,
     "text_chunk_fixed": chunk_fixed,
+    "text_pack_sequences": pack_sequences,
 }
 
 ORACLES = {
@@ -680,4 +778,5 @@ ORACLES = {
     "text_repetition_filter": repetition_filter_sql(),
     "text_pii_scrub": pii_scrub_sql(),
     "text_chunk_fixed": chunk_fixed_sql(),
+    "text_pack_sequences": pack_sequences_sql(),
 }
