@@ -404,13 +404,23 @@ def _with_planted_repetition(docs):
 
 def repetition_filter(spark, sf_dir):
     """Docs flagged by the top-2-gram repetition rule. Output:
-    (doc_id, n_bigrams, top_bigram_n, dup_bigram_bp), doc_id order."""
+    (doc_id, n_bigrams, top_bigram_n, dup_bigram_bp), doc_id order.
+
+    The repartition barrier after tokenization pins evaluation order
+    (plant + regex once per row → shuffle → slice/concat per bigram):
+    without it CollapseProject inlines the tokenizer into the Generate
+    and re-runs the regex once per exploded bigram (measured 6.0 s →
+    ~1 s at sf0.1, the same pitfall dedup's shingle stage documents)."""
     docs = _with_planted_repetition(load(spark, sf_dir, "documents"))
     from .dedup import _shingles
 
-    big = docs.select(
+    P = docs.sparkSession.sparkContext.defaultParallelism
+    tok_df = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).repartition(P)
+    big = tok_df.select(
         "doc_id",
-        F.explode(_shingles(tokens(F.col("text")), 2)).alias("bigram"),
+        F.explode(_shingles(F.col("toks"), 2)).alias("bigram"),
     )
     per_bigram = big.groupBy("doc_id", "bigram").agg(
         F.count("*").alias("n")
