@@ -132,3 +132,50 @@ def test_decontaminate_broadcasts_benchmark_shingles(spark):
     assert "BroadcastHashJoin" in p, p[:1200]
     assert "CartesianProduct" not in p, p[:1200]
     assert "BroadcastNestedLoopJoin" not in p, p[:1200]
+
+
+def test_repetition_filter_tokenizes_before_explode(spark):
+    """The tokenizer must run behind a repartition barrier so
+    CollapseProject can't inline the regex into the Generate and re-run
+    it per exploded bigram (measured 6.0 s vs 1.1 s at sf0.1). Pinned:
+    an Exchange sits between the scan-side Project (which carries the
+    regex) and the Generate, and the Generate's own block carries no
+    regexp."""
+    import re
+
+    from table_recognition_spark.operators.textstats import (
+        repetition_filter,
+    )
+
+    p = _formatted_plan(repetition_filter(spark, "/root/testdata/sf0.001"))
+    gen = [b for b in p.split("\n\n") if b.startswith("(") and "Generate" in b.split("\n")[0]]
+    assert gen and all("regexp" not in b for b in gen), (gen or p)[:1500]
+    # the tree shows Generate downstream of an Exchange (the barrier)
+    tree = p.split("\n\n")[0]
+    gen_line = next(i for i, l in enumerate(tree.splitlines()) if "Generate" in l)
+    assert any(
+        "Exchange" in l and "Broadcast" not in l
+        for l in tree.splitlines()[gen_line:]
+    ), tree
+
+
+def test_pii_and_chunk_are_map_only(spark):
+    """PII scrub and fixed chunking must stay map-only: a single pruned
+    (doc_id, text) scan, no join, and no shuffle besides the
+    deterministic output sort."""
+    import re
+
+    from table_recognition_spark.operators.textstats import (
+        chunk_fixed,
+        pii_scrub,
+    )
+
+    for fn in (pii_scrub, chunk_fixed):
+        p = _formatted_plan(fn(spark, "/root/testdata/sf0.001"))
+        assert "Join" not in p and "CartesianProduct" not in p, p[:1200]
+        exchanges = re.findall(r"\n\(\d+\) Exchange", p)
+        assert len(exchanges) <= 1, p[:1200]
+        scans = [b for b in p.split("\n\n") if "ReadSchema" in b]
+        assert len(scans) == 1 and "doc_id:bigint,text:string" in scans[0], (
+            scans
+        )
