@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "text_pii_scrub",
     "text_chunk_fixed",
     "text_pack_sequences",
+    "text_length_quantiles",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_ngram",

@@ -765,6 +765,80 @@ def pack_sequences_sql() -> str:
     """
 
 
+# --- corpus length profile ----------------------------------------------
+#
+# Per-source token-length quantiles for corpus profiling / filter-
+# threshold tuning. Exact discrete quantiles by rank selection (the
+# value at 0-based rank floor((n-1)·p) under (n_tokens, doc_id) order)
+# — NOT engine-native percentile functions, whose interpolation rules
+# differ across engines. One narrow shuffle keyed by source for the
+# window rank, one tiny aggregate. At 100 TB the per-source window sort
+# is the cost; sources are few and the sorted payload is one long per
+# doc, so this is a classic totally-skewed-but-tiny analytics query —
+# for a pathological single mega-source you'd swap in a two-level
+# rank-sketch, which the docstring leaves as the documented seam.
+
+QUANTILES_BP = (2500, 5000, 7500, 9500)
+
+
+def length_quantiles(spark, sf_dir):
+    """Per source: doc count and exact p25/p50/p75/p95 token counts."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = sized.select(
+        "source",
+        "n_tokens",
+        (F.row_number().over(w) - 1).alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    aggs = [F.count("*").alias("n_docs")]
+    for bp in QUANTILES_BP:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr(f"((n - 1) * {bp}) div 10000"),
+                    F.col("n_tokens"),
+                )
+            ).alias(f"p{bp // 100}")
+        )
+    return (
+        ranked.groupBy("source")
+        .agg(*aggs)
+        .orderBy("source")
+    )
+
+
+def length_quantiles_sql() -> str:
+    toks = tokens_sql("text")
+    cols = ",\n           ".join(
+        f"max(CASE WHEN rk = ((n - 1) * {bp}) // 10000 THEN n_tokens END)"
+        f" AS p{bp // 100}"
+        for bp in QUANTILES_BP
+    )
+    return f"""
+    WITH sized AS (
+      SELECT doc_id, source, len({toks}) AS n_tokens FROM documents
+    ),
+    ranked AS (
+      SELECT source, n_tokens,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_tokens, doc_id) - 1 AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM sized
+    )
+    SELECT source, count(*) AS n_docs,
+           {cols}
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 QUERIES = {
     "text_doc_stats": doc_stats,
     "text_token_topk": token_topk,
@@ -776,6 +850,7 @@ QUERIES = {
     "text_pii_scrub": pii_scrub,
     "text_chunk_fixed": chunk_fixed,
     "text_pack_sequences": pack_sequences,
+    "text_length_quantiles": length_quantiles,
 }
 
 ORACLES = {
@@ -789,4 +864,5 @@ ORACLES = {
     "text_pii_scrub": pii_scrub_sql(),
     "text_chunk_fixed": chunk_fixed_sql(),
     "text_pack_sequences": pack_sequences_sql(),
+    "text_length_quantiles": length_quantiles_sql(),
 }
