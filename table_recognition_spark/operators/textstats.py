@@ -1,8 +1,11 @@
 """Text analysis for a training-data pipeline over the ``documents`` table:
 language ID (stopword heuristic), quality scoring, token counting,
-document fingerprinting. All JVM-side ``pyspark.sql.functions`` —
-whole-stage codegen, no Python in the hot path. Each query has an exact
-DuckDB oracle (integer-exact or identically-shaped double expressions).
+document fingerprinting, repetition/PII quality filters, chunking,
+sequence packing, length profiling. JVM-side ``pyspark.sql.functions``
+(whole-stage codegen) everywhere except the one inherently-sequential
+op — greedy sequence packing, one Arrow batch per (source, shard)
+group. Each query has an exact DuckDB oracle (integer-exact or
+identically-shaped double expressions).
 """
 
 from __future__ import annotations
