@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "text_chunk_fixed",
     "text_pack_sequences",
     "text_length_quantiles",
+    "text_mix_by_source",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_ngram",

@@ -842,6 +842,60 @@ def length_quantiles_sql() -> str:
     """
 
 
+# --- corpus mixing by per-source quota ----------------------------------
+#
+# The second data-mixing primitive (complementing the rate-based
+# quality-stratified sampler): hit an exact per-source document COUNT.
+# Each source's docs are ranked by md5(doc_id:source) — a deterministic
+# shuffle-order so re-runs and engines agree — and the top quota_s
+# survive. Quotas here follow a 3-cycle over the source index
+# (20/15/10 docs), standing in for a configured mixture table; in
+# production the quota map is a broadcast dimension. One narrow
+# shuffle for the per-source window rank, nothing else.
+
+MIX_QUOTA_BASE = 20
+MIX_QUOTA_STEP = 5
+
+
+def mix_by_source(spark, sf_dir):
+    """Exactly quota(source) docs per source, chosen by md5 rank.
+    Output: (doc_id, source, rk), doc_id order."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    )
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    quota = MIX_QUOTA_BASE - (
+        F.substring("source", 4, 10).cast("int") % 3
+    ) * MIX_QUOTA_STEP
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= quota)
+        .orderBy("doc_id")
+    )
+
+
+def mix_by_source_sql() -> str:
+    return f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || source),
+                        doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, rk
+    FROM ranked
+    WHERE rk <= {MIX_QUOTA_BASE}
+               - (CAST(substring(source, 4, 10) AS INT) % 3)
+                 * {MIX_QUOTA_STEP}
+    ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "text_doc_stats": doc_stats,
     "text_token_topk": token_topk,
@@ -854,6 +908,7 @@ QUERIES = {
     "text_chunk_fixed": chunk_fixed,
     "text_pack_sequences": pack_sequences,
     "text_length_quantiles": length_quantiles,
+    "text_mix_by_source": mix_by_source,
 }
 
 ORACLES = {
@@ -868,4 +923,5 @@ ORACLES = {
     "text_chunk_fixed": chunk_fixed_sql(),
     "text_pack_sequences": pack_sequences_sql(),
     "text_length_quantiles": length_quantiles_sql(),
+    "text_mix_by_source": mix_by_source_sql(),
 }
