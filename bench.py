@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "rel_orderstatus_pivot",
     "rel_asof_last_event",
     "rel_events_json_props",
+    "rel_q7_volume_shipping",
+    "rel_churned_customers",
     "text_doc_stats",
     "text_token_topk",
     "text_rolling_fingerprint",

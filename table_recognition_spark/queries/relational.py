@@ -439,6 +439,110 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, k_bucket
 """
 
 
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 flavor: bidirectional nation-pair trade volume by ship
+    year. Two independent broadcast-dim legs (supplier→nation,
+    orders→customer→nation) meet on the lineitem fact — the dims stay
+    broadcast, the only big shuffle is lineitem⋈orders on orderkey."""
+    n1 = ("NATION_1", "NATION_2")
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    sn = F.col("supp_nation")
+    cn = F.col("cust_nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .filter(
+            ((sn == n1[0]) & (cn == n1[1])) | ((sn == n1[1]) & (cn == n1[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_c")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+           AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def churned_customers(spark, sf_dir):
+    """Left-anti retention query: customers with NO order since the
+    cutoff, counted per market segment with their idle balance. The
+    anti-join shuffles both sides on custkey — at scale the orders side
+    is pre-filtered at the scan (pushdown) before the shuffle, so the
+    anti-join input is the small recent slice, not full history."""
+    cutoff = "2001-01-01"
+    cust = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= cutoff
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_churned"),
+            F.sum(cents(F.col("c_acctbal"))).alias("idle_balance_c"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+CHURNED_SQL = f"""
+SELECT c_mktsegment, count(*) AS n_churned,
+       CAST(sum({cents_sql('c_acctbal')}) AS BIGINT) AS idle_balance_c
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "rel_q1_pricing_summary": q1_pricing_summary,
     "rel_q3_shipping_priority": q3_shipping_priority,
@@ -451,6 +555,8 @@ QUERIES = {
     "rel_orderstatus_pivot": orderstatus_pivot,
     "rel_asof_last_event": asof_event_to_order,
     "rel_events_json_props": events_json_props,
+    "rel_q7_volume_shipping": q7_volume_shipping,
+    "rel_churned_customers": churned_customers,
 }
 
 ORACLES = {
@@ -465,4 +571,6 @@ ORACLES = {
     "rel_orderstatus_pivot": ORDERSTATUS_PIVOT_SQL,
     "rel_asof_last_event": ASOF_SQL,
     "rel_events_json_props": EVENTS_JSON_SQL,
+    "rel_q7_volume_shipping": Q7_SQL,
+    "rel_churned_customers": CHURNED_SQL,
 }
