@@ -90,3 +90,94 @@ def test_stream_neardup_matches_first_per_bucket_oracle(spark, tmp_path):
         for r in spark.sql("SELECT * FROM neardup_pairs").collect()
     }
     assert got == expected
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_stream_neardup_resumes_from_checkpoint(spark, tmp_path):
+    """Kill the query between micro-batches and restart from the same
+    checkpoint: bucket state must survive, so batch-1 dups are still
+    matched against batch-0 representatives and nothing re-emits."""
+    from table_recognition_spark.streaming.neardup import (
+        _SEP,
+        _banded,
+        stream_neardup_minhash,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    banded = _banded(docs).toPandas()
+    by_bucket = {}
+    for r in banded.itertuples():
+        by_bucket.setdefault((r.band, r.bucket), []).append(
+            (0 if _orig(r.doc_id) < SPLIT else 1, r.doc_id, r.shingles)
+        )
+    expected = {0: set(), 1: set()}
+    for (band, bucket), members in by_bucket.items():
+        members.sort()
+        keep_doc, keep = members[0][1], set(members[0][2].split(_SEP))
+        for batch, d, joined in members[1:]:
+            sh = set(joined.split(_SEP))
+            n_common, n_union = len(keep & sh), len(keep | sh)
+            if 2 * n_common >= n_union:
+                expected[batch].add(
+                    (band, bucket, keep_doc, d, n_common, n_union)
+                )
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+
+    def _stage(i, pred):
+        part_dir = tmp_path / f"part{i}"
+        docs.filter(pred).coalesce(1).write.parquet(str(part_dir))
+        part = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        dst = in_dir / f"batch_{i}.parquet"
+        shutil.copy(part_dir / part, dst)
+        os.utime(dst, (1_000_000_000 + 100 * i,) * 2)
+
+    out_dir = str(tmp_path / "pairs_out")
+
+    def _run():
+        # memory sinks can't recover from a checkpoint; a file sink can
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(str(in_dir))
+        )
+        q = (
+            stream_neardup_minhash(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {
+            (
+                r["band"], r["bucket"], r["keep_doc"], r["dup_doc"],
+                r["n_common"], r["n_union"],
+            )
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    _stage(0, f"doc_id < {SPLIT}")
+    got0 = _run()
+
+    _stage(1, f"doc_id >= {SPLIT}")
+    got1 = _run()  # fresh query, same checkpoint
+
+    assert expected[0] and expected[1], "fixture produced no dups"
+    assert got0 == expected[0]
+    # restart kept the bucket state: batch-1 dups matched against
+    # batch-0 representatives, batch-0 pairs not re-emitted
+    assert got1 == expected[0] | expected[1]
