@@ -279,7 +279,9 @@ def _expected_sql(name: str) -> str | None:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from table_recognition_spark.operators import dedup, similarity, textstats
+    from table_recognition_spark.operators import (
+        dedup, similarity, sketch, textstats,
+    )
     from table_recognition_spark.queries import relational
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -287,6 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(textstats.QUERIES)
     q.update(dedup.QUERIES)
     q.update(similarity.QUERIES)
+    q.update(sketch.QUERIES)
     # non-SQL-expressible (GNN kernel / binary decode) → oracled via the
     # committed-expected-parquet pattern (EXPECTED_ORACLE_QUERIES above)
     q["extract_interleaved"] = _extract_interleaved
@@ -303,7 +306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from table_recognition_spark.operators import dedup, similarity, textstats
+    from table_recognition_spark.operators import (
+        dedup, similarity, sketch, textstats,
+    )
     from table_recognition_spark.queries import relational
 
     o: dict[str, str] = {}
@@ -311,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(textstats.ORACLES)
     o.update(dedup.ORACLES)
     o.update(similarity.ORACLES)
+    o.update(sketch.ORACLES)
     o["dataset_split_load"] = DATASET_SPLIT_SQL
     o["gt_repair_rows"] = _gt_repair_sql()
     for name in EXPECTED_ORACLE_QUERIES:

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "text_pack_sequences",
     "text_length_quantiles",
     "text_mix_by_source",
+    "sketch_hll_distinct",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_ngram",

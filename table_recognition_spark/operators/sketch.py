@@ -1,0 +1,137 @@
+"""Deterministic cardinality sketch (HyperLogLog) over the corpus
+token stream — the distributed-sketch primitive of a training-data
+pipeline (vocabulary size tracking without a global distinct).
+
+Engine-native approx_count_distinct can never cross-check against
+another engine (different hash, different bias correction), so this is
+a from-scratch HLL whose every step is integer-exact in both Spark and
+DuckDB:
+
+- hash = md5(token); register = first hex byte % M; rho window = the
+  next 16 hash bits;
+- rho = 17 - bitlen(window), computed by a generated integer CASE
+  chain — no float log2, whose libm rounding at power-of-two
+  boundaries differs across engines;
+- the harmonic sum Σ 2^-rho is kept as the integer
+  S = Σ 2^(17-rho) over the common denominator 2^17 (rho reaches 17
+  on an all-zero window; empty registers contribute 2^17 exactly);
+- the raw HLL estimate is emitted in integer milli-units:
+  est_milli = (ALPHA_MILLI · M² · 2^17) // S  (α = 0.709 for M = 64).
+
+Exact distinct-token count rides along in the same row, so the query
+doubles as the sketch's own error eval. Scale shape: one explode, one
+M-way aggregation (map-side partial max per register), one tiny final
+reduce — the whole point of HLL is that the shuffle payload is M
+integers per partition, not the token universe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import load, tokens, tokens_sql
+
+M_REGISTERS = 64
+RHO_BITS = 16
+ALPHA_MILLI = 709  # alpha_64 = 0.709 (Flajolet et al. 2007)
+
+
+def _rho_case_sql(v: str) -> str:
+    """Integer bit-length CASE chain: rho = 17 - bitlen(v), v in
+    [0, 2^16). Identical text runs in Spark SQL and DuckDB."""
+    branches = " ".join(
+        f"WHEN {v} >= {1 << (RHO_BITS - k)} THEN {k}"
+        for k in range(1, RHO_BITS + 1)
+    )
+    return f"(CASE {branches} ELSE {RHO_BITS + 1} END)"
+
+
+def hll_distinct_tokens(spark, sf_dir):
+    """One row: (m, s_inv, zero_regs, est_milli, exact_distinct).
+
+    The sketched domain is 3-token shingles, not single tokens: the
+    synthetic corpus has a ~31-word vocabulary, deep in HLL's
+    small-range regime where production uses linear counting (the
+    zero_regs column is emitted for exactly that switch); shingles
+    (~25k distinct) put the fixture in the raw-HLL regime the estimator
+    is built for. The repartition barrier pins tokenize-once-per-row
+    (the CollapseProject pitfall the repetition filter documents)."""
+    from .dedup import _shingles
+
+    P = spark.sparkContext.defaultParallelism
+    tok_df = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .repartition(P)
+    )
+    toks = (
+        tok_df.select(F.explode(_shingles(F.col("toks"))).alias("token"))
+        .select(F.md5("token").alias("h"))
+        .select(
+            (F.conv(F.substring("h", 1, 2), 16, 10).cast("long") % M_REGISTERS)
+            .alias("reg"),
+            F.conv(F.substring("h", 3, 4), 16, 10).cast("long").alias("v"),
+        )
+    )
+    regs = toks.groupBy("reg").agg(
+        F.max(F.expr(_rho_case_sql("v"))).alias("rho")
+    )
+    sketch = regs.agg(
+        (
+            F.sum(F.expr(f"shiftleft(1L, {RHO_BITS + 1} - rho)"))
+            + (M_REGISTERS - F.count("*")) * (1 << (RHO_BITS + 1))
+        ).alias("s_inv"),
+        (M_REGISTERS - F.count("*")).cast("long").alias("zero_regs"),
+    ).select(
+        F.lit(M_REGISTERS).cast("long").alias("m"),
+        "s_inv",
+        "zero_regs",
+        F.expr(
+            f"{ALPHA_MILLI * M_REGISTERS * M_REGISTERS * (1 << (RHO_BITS + 1))}L"
+            " div s_inv"
+        ).alias("est_milli"),
+    )
+    exact = tok_df.select(
+        F.explode(_shingles(F.col("toks"))).alias("token")
+    ).agg(F.countDistinct("token").alias("exact_distinct"))
+    return sketch.crossJoin(exact)
+
+
+def hll_distinct_tokens_sql() -> str:
+    from .dedup import _shingles_sql
+
+    toks = _shingles_sql(tokens_sql("text"))
+    return f"""
+    WITH tok AS (
+      SELECT md5(unnest({toks})) AS h FROM documents
+    ),
+    hashed AS (
+      SELECT ('0x' || substr(h, 1, 2))::BIGINT % {M_REGISTERS} AS reg,
+             ('0x' || substr(h, 3, 4))::BIGINT AS v
+      FROM tok
+    ),
+    regs AS (
+      SELECT reg, max({_rho_case_sql('v')}) AS rho
+      FROM hashed GROUP BY reg
+    ),
+    sketch AS (
+      SELECT CAST(sum(1::BIGINT << ({RHO_BITS + 1} - rho)) +
+                  ({M_REGISTERS} - count(*)) * {1 << (RHO_BITS + 1)} AS BIGINT)
+                 AS s_inv,
+             CAST({M_REGISTERS} - count(*) AS BIGINT) AS zero_regs
+      FROM regs
+    ),
+    exact AS (
+      SELECT CAST(count(DISTINCT t) AS BIGINT) AS exact_distinct
+      FROM (SELECT unnest({toks}) AS t FROM documents)
+    )
+    SELECT CAST({M_REGISTERS} AS BIGINT) AS m, s_inv, zero_regs,
+           {ALPHA_MILLI * M_REGISTERS * M_REGISTERS * (1 << (RHO_BITS + 1))}
+               // s_inv AS est_milli,
+           exact_distinct
+    FROM sketch, exact
+    """
+
+
+QUERIES = {"sketch_hll_distinct": hll_distinct_tokens}
+ORACLES = {"sketch_hll_distinct": hll_distinct_tokens_sql()}
