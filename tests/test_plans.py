@@ -179,3 +179,25 @@ def test_pii_and_chunk_are_map_only(spark):
         assert len(scans) == 1 and "doc_id:bigint,text:string" in scans[0], (
             scans
         )
+
+
+def test_hll_sketch_shuffles_registers_not_tokens(spark):
+    """The HLL aggregation must partial-aggregate map-side so the
+    shuffle carries at most M register rows per partition, never the
+    token stream: the register groupBy appears as two HashAggregates
+    around its Exchange (partial + final), and no join in the sketch
+    branch is a cartesian surprise (the single-row crossJoin with the
+    exact count is the one deliberate nested-loop)."""
+    import re
+
+    from table_recognition_spark.operators.sketch import (
+        hll_distinct_tokens,
+    )
+
+    p = _formatted_plan(hll_distinct_tokens(spark, "/root/testdata/sf0.001"))
+    # partial+final pairs: at least two HashAggregates per Exchange
+    assert len(re.findall(r"HashAggregate", p)) >= 4, p[:1500]
+    # the only nested-loop is the deliberate single-row estimate×exact
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
+    assert "CartesianProduct" not in p, p[:1500]
