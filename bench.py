@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "text_length_quantiles",
     "text_mix_by_source",
     "sketch_hll_distinct",
+    "sketch_hll_users_daily",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_ngram",

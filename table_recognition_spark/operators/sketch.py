@@ -133,5 +133,88 @@ def hll_distinct_tokens_sql() -> str:
     """
 
 
-QUERIES = {"sketch_hll_distinct": hll_distinct_tokens}
-ORACLES = {"sketch_hll_distinct": hll_distinct_tokens_sql()}
+def hll_users_daily(spark, sf_dir):
+    """Per-key sketch — the production HLL shape: daily distinct-user
+    estimates over the events stream, one register set per day. The
+    shuffle carries (day, reg, partial-max-rho) — M rows per day per
+    partition — instead of the user universe; the exact per-day
+    distinct rides along as the error eval. Same integer-exact
+    register/rho/estimate arithmetic as the corpus sketch."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    )
+    hashed = ev.select(
+        "day",
+        (F.conv(F.substring("h", 1, 2), 16, 10).cast("long") % M_REGISTERS)
+        .alias("reg"),
+        F.conv(F.substring("h", 3, 4), 16, 10).cast("long").alias("v"),
+    )
+    regs = hashed.groupBy("day", "reg").agg(
+        F.max(F.expr(_rho_case_sql("v"))).alias("rho")
+    )
+    est_num = ALPHA_MILLI * M_REGISTERS * M_REGISTERS * (1 << (RHO_BITS + 1))
+    sketch = (
+        regs.groupBy("day")
+        .agg(
+            (
+                F.sum(F.expr(f"shiftleft(1L, {RHO_BITS + 1} - rho)"))
+                + (M_REGISTERS - F.count("*")) * (1 << (RHO_BITS + 1))
+            ).alias("s_inv"),
+            (M_REGISTERS - F.count("*")).cast("long").alias("zero_regs"),
+        )
+        .select("day", "s_inv", "zero_regs",
+                F.expr(f"{est_num}L div s_inv").alias("est_milli"))
+    )
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return sketch.join(exact, "day").orderBy("day")
+
+
+def hll_users_daily_sql() -> str:
+    est_num = ALPHA_MILLI * M_REGISTERS * M_REGISTERS * (1 << (RHO_BITS + 1))
+    return f"""
+    WITH hashed AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+                 % {M_REGISTERS} AS reg,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 4))::BIGINT
+                 AS v
+      FROM events
+    ),
+    regs AS (
+      SELECT day, reg, max({_rho_case_sql('v')}) AS rho
+      FROM hashed GROUP BY day, reg
+    ),
+    sketch AS (
+      SELECT day,
+             CAST(sum(1::BIGINT << ({RHO_BITS + 1} - rho)) +
+                  ({M_REGISTERS} - count(*)) * {1 << (RHO_BITS + 1)}
+                  AS BIGINT) AS s_inv,
+             CAST({M_REGISTERS} - count(*) AS BIGINT) AS zero_regs
+      FROM regs GROUP BY day
+    ),
+    exact AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT s.day AS day, s.s_inv, s.zero_regs,
+           {est_num} // s.s_inv AS est_milli,
+           e.exact_distinct
+    FROM sketch s JOIN exact e ON s.day = e.day
+    ORDER BY 1
+    """
+
+
+QUERIES = {
+    "sketch_hll_distinct": hll_distinct_tokens,
+    "sketch_hll_users_daily": hll_users_daily,
+}
+ORACLES = {
+    "sketch_hll_distinct": hll_distinct_tokens_sql(),
+    "sketch_hll_users_daily": hll_users_daily_sql(),
+}
