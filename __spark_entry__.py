@@ -258,6 +258,23 @@ def _gt_repair_sql() -> str:
 # the driver's rows+schema+hash gate covers the flagship kernel itself.
 # Staleness guard: tests/test_queries_duckdb.py recomputes every one of
 # these against the committed parquet on each pytest run.
+#
+# Epistemics (be precise about what this gate proves): the committed
+# parquet was generated by the same Spark implementation it now gates,
+# so for THESE queries the rows+schema+hash check is a determinism /
+# regression pin, NOT an independent cross-check (a bug present at
+# gen_expected time would be committed as truth). The independent
+# correctness anchor for each of them is the no-Spark numpy oracle +
+# pinned-value pytests (oracle/extract.py, tests/test_jpeg.py,
+# tests/test_pipeline_parity.py). The SQL-oracled queries, by contrast,
+# ARE independently cross-checked (DuckDB recomputes from the raw
+# tables). Environment note: these outputs include float matmuls (G3
+# CNN forward, IVF k-means); artifacts were generated with numpy's
+# default OpenBLAS on x86-64 (linux, numpy 2.x) — a different BLAS /
+# FMA regime could in principle flip a low-order bit and break the
+# hash; if a cross-machine mismatch appears with all pytests green,
+# regenerate via scripts/gen_expected.py and diff values (tolerance),
+# not hashes.
 EXPECTED_ORACLE_QUERIES = [
     "extract_interleaved",
     "extract_interleaved_visibility",

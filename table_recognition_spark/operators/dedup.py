@@ -679,6 +679,9 @@ def dedup_embedding_cosine_sql() -> str:
 
 
 RECALL_SAMPLE_PCT = 25  # seeded md5-roll query sample for the recall eval
+# hard ceiling on the driver-side sample materialization — keeps the eval
+# O(cap·d) no matter how large the corpus grows (mirrors IVF_SAMPLE/limit)
+RECALL_SAMPLE_CAP = 4096
 
 
 def _md5_roll(col):
@@ -712,7 +715,16 @@ def dedup_embedding_recall(spark, sf_dir, sample_pct: int = RECALL_SAMPLE_PCT):
     q = _emb_quantized(spark, sf_dir).cache()
     tn, td = _COS_T
 
-    sample = q.filter(_md5_roll(F.col("vec_id")) < sample_pct)
+    # Absolute cap on the driver materialization (the same bounded-sample
+    # pattern sim_ivf_topk uses, similarity.py:388): the md5-roll keeps the
+    # sample deterministic and cross-engine reproducible, the orderBy +
+    # limit keeps it O(cap·d) at ANY corpus size — a bare percentage would
+    # grow with the corpus. No-op at fixture scale (25% of 500 = 125 rows).
+    sample = (
+        q.filter(_md5_roll(F.col("vec_id")) < sample_pct)
+        .orderBy("vec_id")
+        .limit(RECALL_SAMPLE_CAP)
+    )
     spd = sample.select("vec_id", "qv", "norm2").toPandas()
     order = np.argsort(spd["vec_id"].to_numpy())
     ids_s = spd["vec_id"].to_numpy()[order].astype(np.int64)
@@ -771,7 +783,8 @@ def dedup_embedding_recall_sql(sample_pct: int = RECALL_SAMPLE_PCT) -> str:
     )
     return f"""
     WITH {_emb_base_sql()},
-    s AS (SELECT * FROM n WHERE {roll} < {sample_pct}),
+    s AS (SELECT * FROM n WHERE {roll} < {sample_pct}
+          ORDER BY vec_id LIMIT {RECALL_SAMPLE_CAP}),
     true_pairs AS (
       SELECT DISTINCT least(x.vec_id, y.vec_id) AS id_a,
                       greatest(x.vec_id, y.vec_id) AS id_b

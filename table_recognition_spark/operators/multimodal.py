@@ -213,29 +213,36 @@ def register_video_codec(magic: bytes, decoder) -> None:
 
 def decode_video(data: bytes):
     """Decode a video payload → (fps, [frame_bytes, ...]) via the video
-    codec registry."""
-    head = bytes(data[:4])
+    codec registry. Each registered magic is matched against its own
+    full length (a codec registered with an 8-byte magic works, same as
+    the image/audio registries)."""
     for magic, dec in _VIDEO_CODECS.items():
-        if head.startswith(magic):
+        if bytes(data[: len(magic)]) == magic:
             return dec(data)
     raise NotImplementedError(
-        f"video decode: unknown container {data[:4]!r}; inject a codec "
-        "with register_video_codec(magic, decoder)."
+        f"video decode: unknown container {bytes(data[:8])!r}; inject a "
+        "codec with register_video_codec(magic, decoder)."
     )
 
 
-def sample_video_frames(data: bytes, n: int) -> list:
-    """Evenly-spaced frame sample: decode the container and return up to
+def sample_frames(frames: list, n: int) -> list:
+    """Evenly-spaced sample over an already-decoded frame list: up to
     ``n`` (frame_idx, frame_bytes) pairs at stride len/n (deterministic —
     the first frame of each of ``n`` equal time buckets, the standard
     keyframe-ish sampling a training pipeline wants)."""
-    _fps, frames = decode_video(data)
     total = len(frames)
     if total == 0:
         return []
     n = min(n, total)
     idxs = sorted({(i * total) // n for i in range(n)})
     return [(i, frames[i]) for i in idxs]
+
+
+def sample_video_frames(data: bytes, n: int) -> list:
+    """Container-bytes convenience wrapper over :func:`sample_frames`
+    (one container decode, then the even-stride sample)."""
+    _fps, frames = decode_video(data)
+    return sample_frames(frames, n)
 
 
 VIDEO_FRAME_STATS_SCHEMA = T.StructType(
@@ -268,7 +275,7 @@ def video_frame_stats(video_df: DataFrame, n_sample: int = 4) -> DataFrame:
                 dur = (
                     int(round(len(frames) * 1000 / fps)) if fps else 0
                 )
-                for idx, fb in sample_video_frames(raw, n_sample):
+                for idx, fb in sample_frames(frames, n_sample):
                     img = decode_image(fb)
                     h, w = img.shape[:2]
                     rows.append(

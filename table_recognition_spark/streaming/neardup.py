@@ -44,7 +44,6 @@ from ..operators.dedup import (
     N_MINHASH,
     ROWS_PER_BAND,
     _shingle_df,
-    _with_planted_dups,
 )
 
 OUTPUT_SCHEMA = (
@@ -70,16 +69,21 @@ def _bucket_matcher(key, pdfs, state: GroupState):
         keep = set(first["shingles"].split(_SEP))
         state.update((keep_doc, _SEP.join(sorted(keep))))
         rest = rows.iloc[1:]
+    # columnar verify: one str.split over the whole bucket batch, then
+    # set intersections against the representative (no per-row iterrows)
     out = []
-    for _, r in rest.iterrows():
-        if int(r["doc_id"]) == keep_doc:
-            continue
-        sh = set(r["shingles"].split(_SEP))
-        n_common = len(keep & sh)
-        n_union = len(keep | sh)
-        if 2 * n_common >= n_union:
-            out.append((band, bucket, keep_doc, int(r["doc_id"]),
-                        n_common, n_union))
+    if len(rest):
+        doc_ids = rest["doc_id"].to_numpy()
+        sh_sets = rest["shingles"].str.split(_SEP).map(set).to_numpy()
+        n_keep = len(keep)
+        for d, sh in zip(doc_ids, sh_sets):
+            if int(d) == keep_doc:
+                continue
+            n_common = len(keep & sh)
+            n_union = n_keep + len(sh) - n_common
+            if 2 * n_common >= n_union:
+                out.append((band, bucket, keep_doc, int(d),
+                            n_common, n_union))
     yield pd.DataFrame(
         out,
         columns=[
@@ -90,8 +94,12 @@ def _bucket_matcher(key, pdfs, state: GroupState):
 
 def _banded(docs: DataFrame) -> DataFrame:
     """(doc_id, band, bucket, shingles-joined) — the batch operator's
-    signature/banding expressions, reused verbatim on a streaming DF."""
-    sh_df = _shingle_df(_with_planted_dups(docs))
+    signature/banding expressions, reused verbatim on a streaming DF.
+    The input stream is processed VERBATIM: the synthetic planted-dup
+    fixture rows the batch queries() entries inject live at the
+    caller/fixture level (tests stage already-planted micro-batch
+    files), never inside this public operator."""
+    sh_df = _shingle_df(docs)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
         lambda h: F.array_min(

@@ -20,13 +20,16 @@ def _orig(doc_id: int) -> int:
 @pytest.mark.spark
 @pytest.mark.slow
 def test_stream_neardup_matches_first_per_bucket_oracle(spark, tmp_path):
+    from table_recognition_spark.operators.dedup import _with_planted_dups
     from table_recognition_spark.streaming.neardup import (
         _SEP,
         _banded,
         stream_neardup_minhash,
     )
 
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # the operator processes its input verbatim; the synthetic dups are
+    # a FIXTURE concern, planted into the staged micro-batch files
+    docs = _with_planted_dups(spark.read.parquet(f"{SF}/documents.parquet"))
 
     # --- expected: replay first-per-bucket on the static banding ------
     banded = _banded(docs).toPandas()
@@ -50,7 +53,7 @@ def test_stream_neardup_matches_first_per_bucket_oracle(spark, tmp_path):
     in_dir = tmp_path / "docs_in"
     in_dir.mkdir()
     for i, pred in enumerate(
-        (f"doc_id < {SPLIT}", f"doc_id >= {SPLIT}")
+        (f"doc_id % 100000 < {SPLIT}", f"doc_id % 100000 >= {SPLIT}")
     ):
         part_dir = tmp_path / f"part{i}"
         docs.filter(pred).coalesce(1).write.parquet(str(part_dir))
@@ -61,10 +64,7 @@ def test_stream_neardup_matches_first_per_bucket_oracle(spark, tmp_path):
         shutil.copy(part_dir / part, dst)
         os.utime(dst, (1_000_000_000 + 100 * i,) * 2)
 
-    schema = (
-        "doc_id bigint, text string, lang string, source string, "
-        "n_chars bigint"
-    )
+    schema = "doc_id bigint, text string"
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -98,13 +98,14 @@ def test_stream_neardup_resumes_from_checkpoint(spark, tmp_path):
     """Kill the query between micro-batches and restart from the same
     checkpoint: bucket state must survive, so batch-1 dups are still
     matched against batch-0 representatives and nothing re-emits."""
+    from table_recognition_spark.operators.dedup import _with_planted_dups
     from table_recognition_spark.streaming.neardup import (
         _SEP,
         _banded,
         stream_neardup_minhash,
     )
 
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = _with_planted_dups(spark.read.parquet(f"{SF}/documents.parquet"))
 
     banded = _banded(docs).toPandas()
     by_bucket = {}
@@ -127,10 +128,7 @@ def test_stream_neardup_resumes_from_checkpoint(spark, tmp_path):
     in_dir = tmp_path / "docs_in"
     in_dir.mkdir()
     ckpt = str(tmp_path / "ckpt")
-    schema = (
-        "doc_id bigint, text string, lang string, source string, "
-        "n_chars bigint"
-    )
+    schema = "doc_id bigint, text string"
 
     def _stage(i, pred):
         part_dir = tmp_path / f"part{i}"
@@ -170,10 +168,10 @@ def test_stream_neardup_resumes_from_checkpoint(spark, tmp_path):
             for r in spark.read.parquet(out_dir).collect()
         }
 
-    _stage(0, f"doc_id < {SPLIT}")
+    _stage(0, f"doc_id % 100000 < {SPLIT}")
     got0 = _run()
 
-    _stage(1, f"doc_id >= {SPLIT}")
+    _stage(1, f"doc_id % 100000 >= {SPLIT}")
     got1 = _run()  # fresh query, same checkpoint
 
     assert expected[0] and expected[1], "fixture produced no dups"
