@@ -13,12 +13,17 @@ public-spec (ITU-T T.81) baseline sequential DCT process:
   keep the stream in sync, not IDCT'd) and ``jpeg_decode_rgb`` (full
   color: per-component IDCT, replication chroma upsampling, JFIF
   YCbCr→RGB — what the reference's ``cv2.imread`` returns, channel-
-  reversed). Progressive (SOF2) and arithmetic coding are out of scope
+  reversed). Progressive (SOF2: spectral selection + successive
+  approximation, T.81 Annex G — DC/AC first + refinement scans, EOBn
+  runs, restart handling) shares the same dequant/IDCT tail. Arithmetic
+  coding and the hierarchical/lossless SOF families are out of scope
   and raise.
 - encoder: baseline with the Annex-K example tables, grayscale
-  (``jpeg_encode_gray8``) and 4:4:4 color (``jpeg_encode_rgb``) — used
-  to generate deterministic committed fixtures and round-trip tests
-  (any standards-compliant decoder reads its output).
+  (``jpeg_encode_gray8``), 4:4:4 color (``jpeg_encode_rgb``) and a
+  progressive grayscale variant (``jpeg_encode_gray8_progressive``,
+  libjpeg-shaped scan script) — used to generate deterministic
+  committed fixtures and round-trip tests (any standards-compliant
+  decoder reads its output).
 
 Throughput note: entropy decoding is an inherently serial bit walk, done
 here as one python loop per coefficient run (~0.2-0.5 s for a megapixel
@@ -193,6 +198,112 @@ def _decode_block(br: _BitReader, dc_lut: _HuffLUT, ac_lut: _HuffLUT,
     return pred
 
 
+def _dc_first_block(br: _BitReader, dc_lut: _HuffLUT, pred: int) -> int:
+    """Progressive DC first-pass (Ah=0): decode one DC diff; returns the
+    new predictor (in the point-transformed domain — caller shifts by
+    Al when storing). T.81 §G.2."""
+    w = br.peek16()
+    t = int(dc_lut.sym[w])
+    ln = int(dc_lut.length[w])
+    if ln == 0:
+        raise ValueError("invalid JPEG: bad DC Huffman code")
+    br.skip(ln)
+    return pred + _extend(br.read(t), t)
+
+
+def _ac_first_block(br: _BitReader, ac_lut: _HuffLUT, blk: np.ndarray,
+                    ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC first pass (Ah=0) for one block's band [ss, se]:
+    run/size coding like sequential, plus EOBn band-skip runs. Returns
+    the remaining EOB run (this block consumed one when active)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        w = br.peek16()
+        rs = int(ac_lut.sym[w])
+        ln = int(ac_lut.length[w])
+        if ln == 0:
+            raise ValueError("invalid JPEG: bad AC Huffman code")
+        br.skip(ln)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            # EOBn: run of (1<<r)+bits blocks with an empty remainder —
+            # includes THIS block, so the stored count is one less
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("invalid JPEG: AC run past band end")
+        blk[k] = _extend(br.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br: _BitReader, ac_lut: _HuffLUT, blk: np.ndarray,
+                     ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC refinement (Ah=Al+1) for one block's band: newly
+    significant coefficients arrive as ±1<<Al; every already-nonzero
+    coefficient consumes a correction bit as the walk passes it (T.81
+    §G.1.2.3 / the classic jdphuff control flow). Returns remaining
+    EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            w = br.peek16()
+            rs = int(ac_lut.sym[w])
+            ln = int(ac_lut.length[w])
+            if ln == 0:
+                raise ValueError("invalid JPEG: bad AC Huffman code")
+            br.skip(ln)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "invalid JPEG: AC refinement size must be 1"
+                    )
+                val = p1 if br.read(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read(r)
+                break
+            # walk forward: correction-bit every nonzero-history coef,
+            # count down r zero-history slots (r=15 ⇒ ZRL skip of 16)
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if br.read(1) and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        # EOB covers this block: remaining nonzero-history coefficients
+        # in the band still consume correction bits
+        while k <= se:
+            v = int(blk[k])
+            if v != 0:
+                if br.read(1) and (v & p1) == 0:
+                    blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _unstuff_scan(data: bytes, start: int):
     """Split the entropy-coded segment starting at ``start`` into
     restart-delimited sub-segments with 0xFF00 stuffing removed.
@@ -227,8 +338,92 @@ def _unstuff_scan(data: bytes, start: int):
     return segs, n
 
 
+def _init_layout(comps, H, W):
+    """MCU grid + per-component block geometry (shared by the baseline
+    and progressive paths). Returns (mcux, mcuy, hmax, vmax, n_mcu)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+    n_mcu = mcux * mcuy
+    for c in comps:
+        c["bw"] = mcux * c["h"]  # blocks per row (MCU-padded storage)
+        c["nb"] = n_mcu * c["h"] * c["v"]
+        # true block dims of the component raster (non-interleaved scans
+        # cover these, NOT the MCU-padded grid): ceil(ceil(W·h/hmax)/8)
+        c["cbw"] = -(-(-(-W * c["h"] // hmax)) // 8)
+        c["cbh"] = -(-(-(-H * c["v"] // vmax)) // 8)
+    return mcux, mcuy, hmax, vmax, n_mcu
+
+
+def _decode_one_prog_scan(
+    segs, scan_members, coefs_by_idx, dc_luts, ac_luts,
+    ss, se, ah, al, restart_interval, mcux, n_mcu,
+):
+    """One progressive scan's entropy decode, accumulating into the
+    component coefficient arrays. ``scan_members`` = [(ci, comp), ...]
+    in scan order. Restart segments reset DC predictors and the EOB
+    run (T.81 §G.1.2)."""
+    interleaved = len(scan_members) > 1
+    if interleaved:
+        units_total = n_mcu
+    else:
+        _ci0, c0 = scan_members[0]
+        units_total = c0["cbw"] * c0["cbh"]
+    per_seg = restart_interval if restart_interval else units_total
+    unit = 0
+    for seg_bytes in segs:
+        if unit >= units_total:
+            break
+        br = _BitReader(seg_bytes)
+        preds = {c["id"]: 0 for _ci, c in scan_members}
+        eobrun = 0
+        for _k in range(min(per_seg, units_total - unit)):
+            if interleaved:
+                # DC scans only (AC scans are single-component by spec)
+                my, mx = divmod(unit, mcux)
+                for ci, c in scan_members:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            bi = (my * c["v"] + by) * c["bw"] + (
+                                mx * c["h"] + bx
+                            )
+                            blk = coefs_by_idx[ci][bi]
+                            if ah == 0:
+                                preds[c["id"]] = _dc_first_block(
+                                    br, dc_luts[c["dc"]], preds[c["id"]]
+                                )
+                                blk[0] = preds[c["id"]] << al
+                            elif br.read(1):
+                                blk[0] = int(blk[0]) | (1 << al)
+            else:
+                ci, c = scan_members[0]
+                row, col = divmod(unit, c["cbw"])
+                blk = coefs_by_idx[ci][row * c["bw"] + col]
+                if ss == 0:  # DC, non-interleaved
+                    if ah == 0:
+                        preds[c["id"]] = _dc_first_block(
+                            br, dc_luts[c["dc"]], preds[c["id"]]
+                        )
+                        blk[0] = preds[c["id"]] << al
+                    elif br.read(1):
+                        blk[0] = int(blk[0]) | (1 << al)
+                elif ah == 0:
+                    eobrun = _ac_first_block(
+                        br, ac_luts[c["ac"]], blk, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine_block(
+                        br, ac_luts[c["ac"]], blk, ss, se, al, eobrun
+                    )
+            unit += 1
+    return unit
+
+
 def _decode_components(data: bytes):
-    """Shared parse + entropy decode for every scan component. Returns
+    """Shared parse + entropy decode for every scan component — baseline
+    (SOF0/SOF1, single interleaved scan) and progressive (SOF2, multi-
+    scan spectral selection + successive approximation). Returns
     (comps, coefs_by_idx, qt, H, W, mcux, mcuy, hmax, vmax) where
     coefs_by_idx[i] is the (n_blocks, 64) zigzag coefficient array of
     component i in block-raster order."""
@@ -241,6 +436,10 @@ def _decode_components(data: bytes):
     comps: list = []
     H = W = 0
     restart_interval = 0
+    progressive = False
+    prog_layout = None  # (mcux, mcuy, hmax, vmax, n_mcu) once known
+    coefs_by_idx: list = []
+    scans_done = 0
     i = 2
     while True:
         while data[i] == 0xFF and data[i + 1] == 0xFF:  # fill bytes
@@ -249,7 +448,9 @@ def _decode_components(data: bytes):
             raise ValueError("invalid JPEG: expected marker")
         m = data[i + 1]
         i += 2
-        if m == 0xD9:  # EOI before SOS
+        if m == 0xD9:  # EOI
+            if progressive and scans_done:
+                break  # all scans accumulated
             raise ValueError("invalid JPEG: no scan data")
         if m in (0x01,) or 0xD0 <= m <= 0xD7:  # parameterless
             continue
@@ -280,7 +481,8 @@ def _decode_components(data: bytes):
                 vals = list(seg[j + 17 : j + 17 + nv])
                 (dc_luts if tc == 0 else ac_luts)[th] = _HuffLUT(bits, vals)
                 j += 17 + nv
-        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline(+ext seq huffman)
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = m == 0xC2
             H = (seg[1] << 8) | seg[2]
             W = (seg[3] << 8) | seg[4]
             nc = seg[5]
@@ -293,11 +495,12 @@ def _decode_components(data: bytes):
                 }
                 for c in range(nc)
             ]
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0xFF{m:02X}: only baseline sequential "
-                "(SOF0/SOF1) is supported by the numpy codec"
+                "(SOF0/SOF1) and progressive (SOF2) are supported by the "
+                "numpy codec"
             )
         elif m == 0xDD:  # DRI
             restart_interval = (seg[0] << 8) | seg[1]
@@ -307,11 +510,42 @@ def _decode_components(data: bytes):
             for c in range(ns):
                 cid = seg[1 + 2 * c]
                 scan[cid] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F)
-            i += seg_len
-            break
+            if not comps or H == 0 or W == 0:
+                raise ValueError("invalid JPEG: missing SOF before SOS")
+            if not progressive:
+                i += seg_len
+                break
+            # ---- progressive: accumulate this scan, keep parsing ----
+            if prog_layout is None:
+                prog_layout = _init_layout(comps, H, W)
+                coefs_by_idx = [
+                    np.zeros((c["nb"], 64), dtype=np.int32) for c in comps
+                ]
+            p_mcux, _p_mcuy, _p_hmax, _p_vmax, p_n_mcu = prog_layout
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            members = []
+            for ci, c in enumerate(comps):
+                if c["id"] in scan:
+                    c["dc"], c["ac"] = scan[c["id"]]
+                    members.append((ci, c))
+            if ss > 0 and len(members) != 1:
+                raise ValueError(
+                    "invalid JPEG: progressive AC scan must be "
+                    "single-component"
+                )
+            segs, end = _unstuff_scan(data, i + seg_len)
+            _decode_one_prog_scan(
+                segs, members, coefs_by_idx, dc_luts, ac_luts,
+                ss, se, ah, al, restart_interval, p_mcux, p_n_mcu,
+            )
+            scans_done += 1
+            i = end
+            continue
         i += seg_len
-    if not comps or H == 0 or W == 0:
-        raise ValueError("invalid JPEG: missing SOF before SOS")
+    if progressive:
+        mcux, mcuy, hmax, vmax, _n_mcu = prog_layout
+        return comps, coefs_by_idx, qt, H, W, mcux, mcuy, hmax, vmax
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -576,6 +810,170 @@ def jpeg_encode_gray8(
     out += seg(0xDA, bytes(sos))
     out += stuffed
     out += b"\xff\xd9"  # EOI
+    return out
+
+
+def _put_bits(bits: list, code: int, n: int) -> None:
+    for b in range(n - 1, -1, -1):
+        bits.append((code >> b) & 1)
+
+
+def _mag(v: int) -> int:
+    a, t = abs(v), 0
+    while a:
+        a >>= 1
+        t += 1
+    return t
+
+
+def jpeg_encode_gray8_progressive(img: np.ndarray) -> bytes:
+    """Encode an (H, W) uint8 image as a PROGRESSIVE (SOF2) JFIF stream
+    — spectral selection + one successive-approximation level, the shape
+    libjpeg's default progression emits. Scan script (grayscale):
+
+      1. DC first        Ss=0 Se=0  Ah=0 Al=1
+      2. AC first        Ss=1 Se=5  Ah=0 Al=1
+      3. AC first        Ss=6 Se=63 Ah=0 Al=1
+      4. DC refinement   Ss=0 Se=0  Ah=1 Al=0   (raw bits, no Huffman)
+      5. AC refinement   Ss=1 Se=63 Ah=1 Al=0
+
+    Exercises every progressive decode path: DC first/refine, AC first
+    (incl. EOB + ZRL), AC refine (correction bits, newly-significant
+    placement). Annex-K tables throughout; EOB runs are emitted per
+    block (EOB1) because the Annex-K AC table defines no EOBn symbols —
+    legal, merely suboptimal. The quantized coefficients are EXACTLY
+    those of :func:`jpeg_encode_gray8`, so both decodes must produce
+    identical pixels (the round-trip equality test relies on this)."""
+    img = np.asarray(img, dtype=np.uint8)
+    H, W = img.shape
+    qzz = _plane_qzz(img.astype(np.float64))
+    dc_enc = _enc_table(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_enc = _enc_table(_AC_LUM_BITS, _AC_LUM_VALS)
+
+    def ac_first(bits: list, blk, ss: int, se: int, al: int) -> None:
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = (abs(v) >> al) * (1 if v >= 0 else -1)  # trunc toward 0
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_enc[0xF0]
+                _put_bits(bits, c, ln)
+                run -= 16
+            s = _mag(t)
+            c, ln = ac_enc[(run << 4) | s]
+            _put_bits(bits, c, ln)
+            _put_bits(bits, t if t > 0 else t + (1 << s) - 1, s)
+            run = 0
+        if run:  # trailing zeros (or empty band): EOB1
+            c, ln = ac_enc[0x00]
+            _put_bits(bits, c, ln)
+
+    def ac_refine(bits: list, blk, ss: int, se: int, ah: int, al: int):
+        # mirror of the decoder walk: emit symbol+sign first, then the
+        # correction bits of nonzero-history coefficients the decoder
+        # passes while skipping the run's zero-history slots
+        p_new = []  # newly significant positions
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            if (abs(v) >> ah) == 0 and (abs(v) >> al) != 0:
+                p_new.append(k)
+        cursor = ss
+
+        def corbit(k: int) -> int:
+            return (abs(int(blk[k])) >> al) & 1
+
+        def hist(k: int) -> bool:
+            return (abs(int(blk[k])) >> ah) != 0
+
+        for p in p_new:
+            while True:
+                # zero-history slots in [cursor, p)
+                zh = [k for k in range(cursor, p) if not hist(k)]
+                if len(zh) <= 15:
+                    break
+                # ZRL: decoder consumes 16 zero-history slots and every
+                # history corbit up to (incl.) the 16th slot
+                q = zh[15]
+                c, ln = ac_enc[0xF0]
+                _put_bits(bits, c, ln)
+                for k in range(cursor, q + 1):
+                    if hist(k):
+                        bits.append(corbit(k))
+                cursor = q + 1
+            r = len([k for k in range(cursor, p) if not hist(k)])
+            v = int(blk[p])
+            c, ln = ac_enc[(r << 4) | 1]
+            _put_bits(bits, c, ln)
+            bits.append(1 if v > 0 else 0)  # sign of the new ±1<<al
+            for k in range(cursor, p):
+                if hist(k):
+                    bits.append(corbit(k))
+            cursor = p + 1
+        if cursor <= se:  # EOB1 + tail correction bits
+            c, ln = ac_enc[0x00]
+            _put_bits(bits, c, ln)
+            for k in range(cursor, se + 1):
+                if hist(k):
+                    bits.append(corbit(k))
+
+    def flush(bits: list) -> bytes:
+        while len(bits) % 8:
+            bits.append(1)
+        payload = np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+        return payload.replace(b"\xff", b"\xff\x00")
+
+    def seg(marker, body):
+        ln = len(body) + 2
+        return bytes([0xFF, marker, ln >> 8, ln & 0xFF]) + body
+
+    def sos_hdr(ss, se, ah, al):
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in _Q50_LUM))
+    out += seg(
+        0xC2,
+        bytes([8, H >> 8, H & 0xFF, W >> 8, W & 0xFF, 1, 1, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00] + _DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+    out += seg(0xC4, bytes([0x10] + _AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+
+    # scan 1: DC first (Al=1)
+    bits: list = []
+    pred = 0
+    for blk in qzz:
+        d = int(blk[0]) >> 1  # DC point transform: arithmetic shift
+        diff = d - pred
+        pred = d
+        t = _mag(diff)
+        c, ln = dc_enc[t]
+        _put_bits(bits, c, ln)
+        if t:
+            _put_bits(bits, diff if diff > 0 else diff + (1 << t) - 1, t)
+    out += sos_hdr(0, 0, 0, 1) + flush(bits)
+
+    # scans 2+3: AC first, split spectral bands (Al=1)
+    for ss, se in ((1, 5), (6, 63)):
+        bits = []
+        for blk in qzz:
+            ac_first(bits, blk, ss, se, 1)
+        out += sos_hdr(ss, se, 0, 1) + flush(bits)
+
+    # scan 4: DC refinement — one raw bit per block
+    bits = [int(blk[0]) & 1 for blk in qzz]
+    out += sos_hdr(0, 0, 1, 0) + flush(bits)
+
+    # scan 5: AC refinement over the full band
+    bits = []
+    for blk in qzz:
+        ac_refine(bits, blk, 1, 63, 1, 0)
+    out += sos_hdr(1, 63, 1, 0) + flush(bits)
+
+    out += b"\xff\xd9"
     return out
 
 

@@ -10,7 +10,10 @@ pin that the engine can ingest baseline JPEG bytes with no native codec:
 - encode→decode round-trip stays close to the source raster;
 - the decoder's restart-marker and multi-component paths agree with the
   plain single-component stream;
-- progressive JPEG (unsupported) is refused with a clear error;
+- progressive (SOF2) streams decode to pixels IDENTICAL to the baseline
+  stream of the same quantized coefficients (committed fixture
+  tests/data/fixture_table_prog.jpg pins the same sha256 as the baseline
+  fixture — different bytes, same pixels);
 - media operators (image_stats) run end-to-end over a JPEG media table.
 """
 from __future__ import annotations
@@ -79,12 +82,51 @@ def test_odd_dimensions():
         assert jpeg_decode_gray8(jpeg_encode_gray8(a)).shape == shape
 
 
-def test_progressive_refused():
-    p = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
-    if not os.path.exists(p):  # pragma: no cover
-        pytest.skip("no system progressive sample")
-    with pytest.raises(NotImplementedError, match="baseline"):
-        jpeg_decode_gray8(open(p, "rb").read())
+PROG_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "data", "fixture_table_prog.jpg"
+)
+
+
+def test_progressive_fixture_decodes_to_pinned_pixels():
+    """The committed SOF2 fixture (written by
+    jpeg_encode_gray8_progressive: DC first/refine with Al=1 point
+    transform, spectral-split AC first scans, full-band AC refinement)
+    decodes to the SAME pinned sha as the baseline fixture — the two
+    streams carry identical quantized coefficients."""
+    data = open(PROG_FIXTURE, "rb").read()
+    assert data[:3] == b"\xff\xd8\xff"
+    assert b"\xff\xc2" in data[:200]  # SOF2 marker present
+    img = jpeg_decode_gray8(data)
+    assert img.shape == FIXTURE_SHAPE
+    assert hashlib.sha256(img.tobytes()).hexdigest() == FIXTURE_SHA256
+
+
+def test_progressive_equals_baseline_decode():
+    """decode(progressive(img)) == decode(baseline(img)) bit-for-bit on
+    shapes that exercise EOB runs, ZRL, partial blocks and odd dims."""
+    from table_recognition_spark.core.jpeg import (
+        jpeg_encode_gray8_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    imgs = [_table_image()[:96, :120]]
+    for shape in [(8, 8), (17, 23), (64, 63), (1, 100)]:
+        imgs.append(rng.integers(0, 256, shape).astype(np.uint8))
+    for a in imgs:
+        base = jpeg_decode_gray8(jpeg_encode_gray8(a))
+        prog = jpeg_decode_gray8(jpeg_encode_gray8_progressive(a))
+        assert np.array_equal(base, prog), a.shape
+
+
+def test_unsupported_sof_refused():
+    """Non-baseline, non-progressive SOF families still refuse loudly
+    (lossless SOF3 here) rather than mis-decoding."""
+    src = _table_image()[:16, :16]
+    enc = bytearray(jpeg_encode_gray8(src))
+    i = enc.index(b"\xff\xc0")
+    enc[i + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
+    with pytest.raises(NotImplementedError, match="SOF"):
+        jpeg_decode_gray8(bytes(enc))
 
 
 def test_truncated_refused():
