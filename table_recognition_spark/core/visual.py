@@ -297,12 +297,22 @@ def init_weights(seed: int = 42) -> dict:
     return w
 
 
+_DEFAULT_WEIGHTS: dict | None = None
+
+
 def default_weights() -> dict:
     """G3 weights resolution shared by the Spark kernel and the no-Spark
     oracle (so parity holds by construction): the committed trained
     artifact (``weights/g3_trained_seed42.npz`` — numpy-backprop-trained
-    by core/visual_train.py) when present, else the frozen seeded
-    init."""
+    by core/visual_train.py) when present, else the frozen seeded init.
+
+    Cached module-level after the first load: the 59 MB npz costs ~1.2 s
+    to decompress, and every visual-query invocation resolves weights
+    driver-side — callers treat the returned dict as immutable (training
+    code inits its own)."""
+    global _DEFAULT_WEIGHTS
+    if _DEFAULT_WEIGHTS is not None:
+        return _DEFAULT_WEIGHTS
     import os
 
     path = os.path.join(
@@ -313,8 +323,10 @@ def default_weights() -> dict:
     )
     if os.path.exists(path):
         data = np.load(path)
-        return {k: data[k] for k in data.files}
-    return init_weights(42)
+        _DEFAULT_WEIGHTS = {k: data[k] for k in data.files}
+    else:  # pragma: no cover - artifact is committed
+        _DEFAULT_WEIGHTS = init_weights(42)
+    return _DEFAULT_WEIGHTS
 
 
 def _linear(w, name, x):
@@ -328,8 +340,16 @@ def forward(
     node_crops: np.ndarray,
     edge_crops: np.ndarray,
     weights: dict,
+    node_feats: np.ndarray | None = None,
+    edge_feats: np.ndarray | None = None,
 ):
-    """Full G3 forward. Returns (node_log_probs (N,2), edge_log_probs (E,4))."""
+    """Full G3 forward. Returns (node_log_probs (N,2), edge_log_probs (E,4)).
+
+    ``node_feats``/``edge_feats``: precomputed CNN features (256-d per
+    crop) — when given, the crop arguments are ignored and the CNN stage
+    is skipped. This is the cross-image fusion seam: a task holding many
+    images runs ONE batched CNN over all their crops (bit-identical to
+    per-image, GEMM rows are independent) and feeds the slices here."""
     x_geo = np.asarray(x_geo, dtype=np.float32)
     e_geo = np.asarray(edge_attr, dtype=np.float32)
     if edge_index.size:
@@ -338,8 +358,13 @@ def forward(
         row = col = np.empty(0, dtype=np.int64)
     n = len(x_geo)
 
-    nv = _cnn_forward(node_crops, weights, "g3.node_cnn", NODE_CNN)
-    if len(edge_crops):
+    if node_feats is not None:
+        nv = node_feats
+    else:
+        nv = _cnn_forward(node_crops, weights, "g3.node_cnn", NODE_CNN)
+    if edge_feats is not None:
+        ev = edge_feats
+    elif len(edge_crops):
         ev = _cnn_forward(edge_crops, weights, "g3.edge_cnn", EDGE_CNN)
     else:
         ev = np.zeros((0, 256), dtype=np.float32)

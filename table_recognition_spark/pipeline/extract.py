@@ -27,6 +27,8 @@ Scale properties, deliberately:
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -50,8 +52,19 @@ _WEIGHTS_CACHE: dict = {}
 
 
 # per-worker G3 weights cache: the ~15M-param artifact is parsed from the
-# broadcast bytes once per executor process, not per batch
+# broadcast bytes once per executor process, not per batch. Keyed by the
+# artifact's CONTENT digest (computed driver-side, shipped in the task
+# closure): a long-lived python worker then parses the 59 MB npz exactly
+# once across every query invocation that uses the same weights — keying
+# by the Broadcast object's id() (the round-4 shape) made each run's
+# fresh broadcast a cache miss, re-paying ~0.6 s × workers per run.
 _G3_CACHE: dict = {}
+
+# driver-side broadcast cache: one torrent distribution of the artifact
+# per (SparkContext, weights-content) — repeated query invocations (and
+# bench repeats) reuse the live broadcast instead of re-shipping 59 MB.
+# Holds a ref to the weights dict so an id() key can't be recycled.
+_G3_BC_CACHE: dict = {}
 
 
 def _kernel_fn(
@@ -59,6 +72,7 @@ def _kernel_fn(
     strategy: str = "knn",
     model: str = "g2",
     g3_weights_bc=None,
+    g3_digest: str | None = None,
 ):
     """Build the Arrow-batched kernel (``mapInArrow``).
 
@@ -86,11 +100,10 @@ def _kernel_fn(
             _WEIGHTS_CACHE[key] = w
         vw = None
         if model == "visual":
-            gkey = id(g3_weights_bc)
-            vw = _G3_CACHE.get(gkey)
+            vw = _G3_CACHE.get(g3_digest)
             if vw is None:
                 vw = weights_from_bytes(g3_weights_bc.value)
-                _G3_CACHE[gkey] = vw
+                _G3_CACHE[g3_digest] = vw
 
         for rb in batches:
             refs = rb.column(rb.schema.get_field_index("media_ref")).to_pylist()
@@ -134,28 +147,57 @@ def _kernel_fn(
                 bboxes_all = np.empty((0, 4), dtype=np.int64)
 
             out_refs, out_idxs, out_texts = [], [], []
-            for r in range(len(refs)):
-                lo, hi = int(row_off[r]), int(row_off[r + 1])
-                if hi <= lo:
-                    continue
-                order = np.argsort(line_ids[lo:hi], kind="stable") + lo
-                b = bboxes_all[order]
-                t = [texts_all[j] for j in order]
-                cells = run_kernel_arrays(
-                    b,
-                    t,
-                    int(widths[r]),
-                    int(heights[r]),
-                    w,
-                    strategy,
-                    model=model,
-                    image=images[r] if images is not None else None,
-                    visual_weights=vw,
-                )
-                for i, cell_text in enumerate(cells):
-                    out_refs.append(refs[r])
-                    out_idxs.append(i)
-                    out_texts.append(cell_text)
+            if model == "visual":
+                # cross-image fusion: ONE batched CNN over every crop in
+                # the record batch (run_kernel_arrays_many) instead of a
+                # small under-utilized GEMM chain per image — the shape
+                # that matters when a task holds many images
+                from ..oracle.extract import run_kernel_arrays_many
+
+                keep, inputs = [], []
+                for r in range(len(refs)):
+                    lo, hi = int(row_off[r]), int(row_off[r + 1])
+                    if hi <= lo:
+                        continue
+                    order = np.argsort(line_ids[lo:hi], kind="stable") + lo
+                    keep.append(r)
+                    inputs.append(
+                        (
+                            bboxes_all[order],
+                            [texts_all[j] for j in order],
+                            int(widths[r]),
+                            int(heights[r]),
+                            images[r],
+                        )
+                    )
+                for r, cells in zip(
+                    keep,
+                    run_kernel_arrays_many(inputs, strategy, vw),
+                ):
+                    for i, cell_text in enumerate(cells):
+                        out_refs.append(refs[r])
+                        out_idxs.append(i)
+                        out_texts.append(cell_text)
+            else:
+                for r in range(len(refs)):
+                    lo, hi = int(row_off[r]), int(row_off[r + 1])
+                    if hi <= lo:
+                        continue
+                    order = np.argsort(line_ids[lo:hi], kind="stable") + lo
+                    b = bboxes_all[order]
+                    t = [texts_all[j] for j in order]
+                    cells = run_kernel_arrays(
+                        b,
+                        t,
+                        int(widths[r]),
+                        int(heights[r]),
+                        w,
+                        strategy,
+                    )
+                    for i, cell_text in enumerate(cells):
+                        out_refs.append(refs[r])
+                        out_idxs.append(i)
+                        out_texts.append(cell_text)
             yield pa.RecordBatch.from_pydict(
                 {
                     "media_ref": pa.array(out_refs, pa.string()),
@@ -205,19 +247,30 @@ def recognize_tables(
         # images in one task = a 2× tail) where round-robin balances
         # exactly
         cols = cols.repartition(kernel_partitions)
-    g3_bc = None
+    g3_bc, g3_digest = None, None
     if model == "visual":
         from ..core import visual
 
         g3 = g3_weights if g3_weights is not None else visual.default_weights()
         # ~55 MB of float32 params: a sparkContext.broadcast (torrent
         # distribution, one copy per executor) — NOT the task closure,
-        # which would re-ship it with every stage's task binary
-        g3_bc = media_df.sparkSession.sparkContext.broadcast(
-            weights_to_bytes(g3)
-        )
+        # which would re-ship it with every stage's task binary. Cached
+        # per (SparkContext, weights dict): repeated invocations of the
+        # visual query reuse one live broadcast + one serialization
+        # instead of re-shipping 59 MB per run.
+        sc = media_df.sparkSession.sparkContext
+        bc_key = (id(sc), id(g3))
+        hit = _G3_BC_CACHE.get(bc_key)
+        if hit is None:
+            g3_bytes = weights_to_bytes(g3)
+            g3_digest = hashlib.md5(g3_bytes).hexdigest()
+            g3_bc = sc.broadcast(g3_bytes)
+            _G3_BC_CACHE[bc_key] = (g3, g3_digest, g3_bc)
+        else:
+            _g3_ref, g3_digest, g3_bc = hit
     return cols.mapInArrow(
-        _kernel_fn(weights_to_bytes(weights), strategy, model, g3_bc),
+        _kernel_fn(weights_to_bytes(weights), strategy, model, g3_bc,
+                   g3_digest),
         schema=CELLS_SCHEMA,
     )
 

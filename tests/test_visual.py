@@ -193,3 +193,71 @@ def test_visual_path_ingests_color_jpeg_media(spark, weights):
     # channels genuinely differ (tinted source)
     assert not np.array_equal(img[..., 0], img[..., 2])
     _ = exp_gray  # runs the gray path end-to-end on the same pages
+
+
+def test_fused_cnn_bit_identical_to_per_image():
+    """Cross-image CNN fusion (run_kernel_arrays_many / forward's
+    node_feats seam) must be BIT-identical to the per-image path: GEMM
+    output rows are independent of the batch's other rows, depthwise/
+    pool/avg are elementwise per sample. Span parity between the fused
+    Spark kernel and the per-image no-Spark oracle rests on this."""
+    rng = np.random.default_rng(11)
+    vw = visual.default_weights()
+    e_sizes = [98, 55, 17, 210]
+    n_sizes = [26, 11, 5, 60]
+    e_crops = [
+        rng.uniform(0, 255, (s, 3, 16, 16)).astype(np.float32)
+        for s in e_sizes
+    ]
+    n_crops = [
+        rng.uniform(0, 255, (s, 3, 10, 10)).astype(np.float32)
+        for s in n_sizes
+    ]
+    for crops, prefix, spec in (
+        (e_crops, "g3.edge_cnn", visual.EDGE_CNN),
+        (n_crops, "g3.node_cnn", visual.NODE_CNN),
+    ):
+        fused = visual._cnn_forward(
+            np.concatenate(crops), vw, prefix, spec
+        )
+        off = 0
+        for c in crops:
+            per = visual._cnn_forward(c, vw, prefix, spec)
+            assert np.array_equal(fused[off : off + len(c)], per)
+            off += len(c)
+
+
+def test_run_kernel_arrays_many_matches_per_image():
+    """The fused many-image kernel returns exactly the per-image
+    kernel's cells for every image, including empty-bbox rows."""
+    from table_recognition_spark.fixtures.generate import _make_table_image
+    from table_recognition_spark.oracle.extract import (
+        polygons_to_bboxes,
+        run_kernel_arrays,
+        run_kernel_arrays_many,
+    )
+
+    vw = visual.default_weights()
+    inputs = []
+    for seed in (3, 5):
+        rng = np.random.default_rng([42, seed])
+        m, _ = _make_table_image(rng, f"fuse{seed}")
+        lines = sorted(m["ocr_lines"], key=lambda d: d["line_id"])
+        bboxes = polygons_to_bboxes(
+            [[(p["x"], p["y"]) for p in li["points"]] for li in lines]
+        )
+        inputs.append(
+            (bboxes, [li["text"] for li in lines], m["width"],
+             m["height"], m["image"])
+        )
+    inputs.insert(1, (np.empty((0, 4), dtype=np.int64), [], 10, 10, b""))
+    fused = run_kernel_arrays_many(inputs, "knn", vw)
+    assert fused[1] == []
+    for inp, cells in zip(inputs, fused):
+        if len(inp[0]) == 0:
+            continue
+        exp = run_kernel_arrays(
+            inp[0], inp[1], inp[2], inp[3], None, "knn",
+            model="visual", image=inp[4], visual_weights=vw,
+        )
+        assert cells == exp and len(cells) > 0
