@@ -115,8 +115,10 @@ BENCH_QUERIES = [
     "text_pack_sequences",
     "text_length_quantiles",
     "text_mix_by_source",
+    "text_quality_classifier",
     "sketch_hll_distinct",
     "sketch_hll_users_daily",
+    "sketch_cms_tokens",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_ngram",
@@ -124,6 +126,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_embedding_recall",
     "dedup_groups_cc",
+    "dedup_substring_spans",
     "decontaminate_ngram",
     "sim_bruteforce_topk",
     "sim_lsh_ann_topk",

@@ -1106,6 +1106,127 @@ def decontaminate_ngram_sql() -> str:
     """
 
 
+SUBSTR_W = 8  # repeated-substring window, in tokens
+
+
+def dedup_substring_spans(spark, sf_dir, w: int = SUBSTR_W):
+    """Cross-document repeated-substring detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape, at
+    token-shingle granularity): any ``w``-token window whose md5 appears
+    in ≥ 2 DISTINCT documents marks its positions as duplicated; per
+    document, overlapping/adjacent duplicated windows merge into maximal
+    spans. Output per affected doc: span count, duplicated-token total
+    (spans are disjoint by construction, so ≤ n_tokens) and the
+    duplicated fraction in basis points (integer division, exact
+    cross-engine).
+
+    Scale shape: the duplicate test per shingle hash is
+    ``min(doc_id) != max(doc_id)`` — constant state per key with
+    map-side partials, so a pathologically common shingle can't blow up
+    an executor the way collecting doc lists would. The two shuffles key
+    by shingle hash (agg + back-join); span merging is one narrow
+    per-doc window over only the duplicated positions."""
+    P = spark.sparkContext.defaultParallelism
+    docs = _with_planted_dups(load(spark, sf_dir, "documents"))
+    toks_df = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).repartition(P)
+    n = F.size("toks")
+    hashes = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, w))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_n = toks_df.select("doc_id", n.cast("long").alias("n_tokens"))
+    occ = toks_df.select(
+        "doc_id", F.posexplode(hashes).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    dup_h = (
+        occ.groupBy("h")
+        .agg(F.min("doc_id").alias("a"), F.max("doc_id").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select("h")
+    )
+    dup_occ = occ.join(dup_h, "h").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup_occ.withColumn(
+        "f",
+        F.when(
+            F.lag("pos").over(wdoc).isNull()
+            | (F.col("pos") - F.lag("pos").over(wdoc) > w),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "span_id",
+        F.sum("f").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = flagged.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("p0"), F.max("pos").alias("p1")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("p1") - F.col("p0") + w).cast("long").alias("dup_tokens"),
+    )
+    return per_doc.join(doc_n, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_spans",
+        "dup_tokens",
+        F.expr("(10000 * dup_tokens) div n_tokens").alias("dup_bps"),
+    )
+
+
+def dedup_substring_spans_sql(w: int = SUBSTR_W) -> str:
+    toks = tokens_sql("text")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {toks} AS toks FROM {_PLANTED_SQL} AS planted
+    ),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(toks, i, i + {w - 1}), ' ')) AS h
+      FROM tok,
+           unnest(CASE WHEN len(toks) >= {w}
+                       THEN range(1, len(toks) - {w - 1} + 1)
+                       ELSE [] END) AS u(i)
+    ),
+    dup_h AS (
+      SELECT h FROM occ GROUP BY h HAVING min(doc_id) != max(doc_id)
+    ),
+    dup_occ AS (
+      SELECT o.doc_id, o.pos FROM occ o JOIN dup_h USING (h)
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w1 IS NULL
+                       OR pos - lag(pos) OVER w1 > {w}
+                  THEN 1 ELSE 0 END AS f
+      FROM dup_occ
+      WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    spans AS (
+      SELECT doc_id, span_id, min(pos) AS p0, max(pos) AS p1
+      FROM (SELECT doc_id, pos,
+                   sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+            FROM flagged)
+      GROUP BY doc_id, span_id
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_dup_spans,
+             CAST(sum(p1 - p0 + {w}) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT p.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           p.n_dup_spans, p.dup_tokens,
+           (10000 * p.dup_tokens) // CAST(len(t.toks) AS BIGINT) AS dup_bps
+    FROM per_doc p JOIN tok t USING (doc_id)
+    """
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1114,6 +1235,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_recall": dedup_embedding_recall,
     "dedup_groups_cc": dedup_groups_cc,
+    "dedup_substring_spans": dedup_substring_spans,
     "decontaminate_ngram": decontaminate_ngram,
 }
 
@@ -1125,5 +1247,6 @@ ORACLES = {
     "dedup_embedding_cosine": dedup_embedding_cosine_sql(),
     "dedup_embedding_recall": dedup_embedding_recall_sql(),
     "dedup_groups_cc": dedup_groups_cc_sql(),
+    "dedup_substring_spans": dedup_substring_spans_sql(),
     "decontaminate_ngram": decontaminate_ngram_sql(),
 }

@@ -210,11 +210,113 @@ def hll_users_daily_sql() -> str:
     """
 
 
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 512  # counters per row
+
+
+def cms_token_counts(spark, sf_dir, depth: int = CMS_DEPTH,
+                     width: int = CMS_WIDTH):
+    """Count-min sketch of the corpus token-frequency stream (Cormode &
+    Muthukrishnan 2005): ``depth`` independent md5-derived hash rows of
+    ``width`` counters; every token occurrence increments one counter
+    per row; a point query reads min over rows (never undercounts).
+    Output: the materialized sketch — (row_idx, col_idx, cnt) for every
+    non-zero counter — plus, as the sketch's own error eval, the exact
+    corpus frequency of the heaviest token that hashes into each
+    (row, col) cell (``max_exact``; est ≥ exact always, pinned by
+    pytest).
+
+    Scale shape: one explode to token occurrences, one constant-arity
+    explode to (row, col) cells, then aggregation to at most
+    depth × width counters — in production the groupBy keys directly on
+    (row, col) and the shuffle payload is the SKETCH (≤ 2048 counters
+    per partition after map-side partial agg), not the token universe.
+    Here the ``max_exact`` eval column forces a first aggregation keyed
+    by (cell, token) — vocabulary-sized, like the HLL query's
+    exact-distinct rider — which an eval can afford and a 10^12-row run
+    drops along with the column."""
+    docs = load(spark, sf_dir, "documents")
+    P = spark.sparkContext.defaultParallelism
+    occ = (
+        docs.select(tokens(F.col("text")).alias("toks"))
+        .repartition(P)
+        .select(F.explode("toks").alias("tok"))
+    )
+    cells = occ.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_idx"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"{j}:"), F.col("tok")
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("col_idx"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "cell.row_idx", "cell.col_idx")
+    exact = (
+        cells.groupBy("row_idx", "col_idx", "tok")
+        .agg(F.count("*").alias("tok_n"))
+        .groupBy("row_idx", "col_idx")
+        .agg(
+            F.sum("tok_n").alias("cnt"),
+            F.max("tok_n").alias("max_exact"),
+        )
+    )
+    return exact.select(
+        "row_idx", "col_idx", F.col("cnt").cast("long").alias("cnt"),
+        F.col("max_exact").cast("long").alias("max_exact"),
+    )
+
+
+def cms_token_counts_sql(depth: int = CMS_DEPTH,
+                         width: int = CMS_WIDTH) -> str:
+    toks = tokens_sql("text")
+    return f"""
+    WITH occ AS (
+      SELECT unnest({toks}) AS tok FROM documents
+    ),
+    cells AS (
+      SELECT tok, j AS row_idx,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 8))
+               ::BIGINT % {width} AS col_idx
+      FROM occ, unnest(range(0, {depth})) AS u(j)
+    ),
+    per_tok AS (
+      SELECT row_idx, col_idx, tok, count(*) AS tok_n
+      FROM cells GROUP BY row_idx, col_idx, tok
+    )
+    SELECT row_idx, col_idx,
+           CAST(sum(tok_n) AS BIGINT) AS cnt,
+           CAST(max(tok_n) AS BIGINT) AS max_exact
+    FROM per_tok GROUP BY row_idx, col_idx
+    """
+
+
 QUERIES = {
     "sketch_hll_distinct": hll_distinct_tokens,
     "sketch_hll_users_daily": hll_users_daily,
+    "sketch_cms_tokens": cms_token_counts,
 }
 ORACLES = {
     "sketch_hll_distinct": hll_distinct_tokens_sql(),
     "sketch_hll_users_daily": hll_users_daily_sql(),
+    "sketch_cms_tokens": cms_token_counts_sql(),
 }

@@ -896,6 +896,89 @@ def mix_by_source_sql() -> str:
     """
 
 
+CLS_BUCKETS = 256  # hashed-feature dimensionality
+
+
+def quality_classifier(spark, sf_dir, buckets: int = CLS_BUCKETS):
+    """fastText-shaped linear quality classifier over hashed token
+    features: each token hashes (md5) into one of ``buckets`` feature
+    buckets; the "trained" weight of bucket b is derived from
+    md5('w' || b) in fixed-point milli units (so both engines can
+    materialize the identical model with no side-channel weight file);
+    a document's score is the integer mean of its tokens' bucket
+    weights, and the keep/drop label thresholds it at 0.
+
+    Scale shape: entirely map-side (one HOF ``aggregate`` per row inside
+    whole-stage codegen — no explode, no shuffle, no UDF); the model
+    lives in the expression tree. A real trained model swaps the
+    md5-derived weight for a broadcast array lookup, same plan."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def weight_milli(tok):
+        bucket = (
+            F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long")
+            % buckets
+        )
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w"), bucket.cast("string"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+        ) - 1000
+
+    n = F.size(toks)
+    raw = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + weight_milli(t)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        raw.alias("raw_milli"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "raw_milli",
+        F.when(F.col("n_tokens") > 0, F.expr("raw_milli div n_tokens"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("mean_milli"),
+    ).withColumn(
+        "label",
+        F.when(F.col("mean_milli") >= 0, F.lit("keep")).otherwise(
+            F.lit("drop")
+        ),
+    )
+
+
+def quality_classifier_sql(buckets: int = CLS_BUCKETS) -> str:
+    toks = tokens_sql("text")
+    w = (
+        f"(('0x' || substr(md5('w' || CAST("
+        f"('0x' || substr(md5(t), 1, 4))::BIGINT % {buckets}"
+        f" AS VARCHAR)), 1, 4))::BIGINT % 2001) - 1000"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len({toks}) AS BIGINT) AS n_tokens,
+             CAST(coalesce(list_sum(list_transform({toks}, t -> {w})), 0)
+                  AS BIGINT) AS raw_milli
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, raw_milli,
+           CASE WHEN n_tokens > 0 THEN raw_milli // n_tokens
+                ELSE 0 END AS mean_milli,
+           CASE WHEN (CASE WHEN n_tokens > 0 THEN raw_milli // n_tokens
+                           ELSE 0 END) >= 0
+                THEN 'keep' ELSE 'drop' END AS label
+    FROM scored
+    """
+
+
 QUERIES = {
     "text_doc_stats": doc_stats,
     "text_token_topk": token_topk,
@@ -909,6 +992,7 @@ QUERIES = {
     "text_pack_sequences": pack_sequences,
     "text_length_quantiles": length_quantiles,
     "text_mix_by_source": mix_by_source,
+    "text_quality_classifier": quality_classifier,
 }
 
 ORACLES = {
@@ -924,4 +1008,5 @@ ORACLES = {
     "text_pack_sequences": pack_sequences_sql(),
     "text_length_quantiles": length_quantiles_sql(),
     "text_mix_by_source": mix_by_source_sql(),
+    "text_quality_classifier": quality_classifier_sql(),
 }

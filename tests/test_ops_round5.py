@@ -1,0 +1,138 @@
+"""Round-5 operators: repeated-substring dedup, hashed-feature quality
+classifier, count-min sketch. Cross-engine exactness is covered by the
+DuckDB gate (tests/test_queries_duckdb.py); these pin the SEMANTIC
+properties and the physical-plan scale claims."""
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.mark.spark
+def test_substring_spans_planted_full_dup(spark):
+    """The planted exact copies (doc_id + 100000) duplicate their source
+    doc verbatim, so BOTH ends must report the whole document as one
+    duplicated span: dup_bps == 10000 and dup_tokens == n_tokens."""
+    from pyspark.sql import functions as F
+
+    from table_recognition_spark.operators.dedup import (
+        SUBSTR_W,
+        dedup_substring_spans,
+    )
+
+    out = dedup_substring_spans(spark, SF).cache()
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert rows, "no duplicated spans found"
+    planted = [d for d in rows if 100000 < d < 200000]
+    assert planted, "planted exact copies missing from output"
+    for d in planted:
+        src = d - 100000
+        for end in (d, src):
+            r = rows.get(end)
+            if r is None:  # source shorter than the window
+                continue
+            if r["n_tokens"] >= SUBSTR_W:
+                assert r["dup_bps"] == 10000, r
+                assert r["dup_tokens"] == r["n_tokens"], r
+    # spans are disjoint by construction: duplicated never exceeds total
+    assert out.filter(F.col("dup_tokens") > F.col("n_tokens")).count() == 0
+    out.unpersist()
+
+
+@pytest.mark.spark
+def test_substring_spans_dup_test_is_min_max(spark):
+    """The per-shingle duplicate test must stay a constant-state
+    min/max aggregate (skew-safe at any shingle frequency) — not a
+    collect_list/collect_set of doc ids."""
+    from table_recognition_spark.operators.dedup import (
+        dedup_substring_spans,
+    )
+
+    p = _formatted_plan(dedup_substring_spans(spark, SF))
+    assert "collect_list" not in p and "collect_set" not in p, p[:1500]
+
+
+@pytest.mark.spark
+def test_quality_classifier_map_only(spark):
+    """The hashed-feature classifier must stay map-only: the model lives
+    in the expression tree (HOF aggregate), so the plan has no join, no
+    Generate (no explode), and at most the input-fanout exchange."""
+    from table_recognition_spark.operators.textstats import (
+        quality_classifier,
+    )
+
+    p = _formatted_plan(quality_classifier(spark, SF))
+    assert "Join" not in p and "Generate" not in p, p[:1500]
+    assert len(re.findall(r"\n\(\d+\) Exchange", p)) == 0, p[:1500]
+
+
+@pytest.mark.spark
+def test_quality_classifier_labels(spark):
+    from pyspark.sql import functions as F
+
+    from table_recognition_spark.operators.textstats import (
+        quality_classifier,
+    )
+
+    out = quality_classifier(spark, SF).cache()
+    assert out.filter(
+        ((F.col("mean_milli") >= 0) & (F.col("label") != "keep"))
+        | ((F.col("mean_milli") < 0) & (F.col("label") != "drop"))
+    ).count() == 0
+    # both classes occur on the fixture corpus (weights are ~uniform)
+    labels = {r["label"] for r in out.select("label").distinct().collect()}
+    assert labels == {"keep", "drop"}
+    out.unpersist()
+
+
+@pytest.mark.spark
+def test_cms_never_undercounts(spark):
+    """Count-min property: every counter is ≥ the exact count of its
+    heaviest token (cnt aggregates ALL tokens in the cell), and a point
+    query (min over depth rows) is ≥ the token's exact frequency."""
+    from pyspark.sql import functions as F
+
+    from table_recognition_spark.operators.common import load, tokens
+    from table_recognition_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_token_counts,
+    )
+
+    out = cms_token_counts(spark, SF).cache()
+    assert out.filter(F.col("cnt") < F.col("max_exact")).count() == 0
+    assert out.count() <= CMS_DEPTH * CMS_WIDTH
+    assert (
+        out.select("row_idx").distinct().count() == CMS_DEPTH
+    )
+    # point query for the corpus's most frequent token
+    occ = (
+        load(spark, SF, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    top_tok, exact_n = (
+        occ.groupBy("tok").count().orderBy(F.desc("count"), "tok").first()
+    )
+    cells = {}
+    import hashlib
+
+    for j in range(CMS_DEPTH):
+        h = hashlib.md5(f"{j}:{top_tok}".encode()).hexdigest()
+        cells[j] = int(h[:8], 16) % CMS_WIDTH
+    sketch = {
+        (r["row_idx"], r["col_idx"]): r["cnt"] for r in out.collect()
+    }
+    est = min(sketch[(j, c)] for j, c in cells.items())
+    assert est >= exact_n
+    out.unpersist()
