@@ -88,9 +88,11 @@ def decode_image(data: bytes) -> np.ndarray:
     (grayscale 8-bit zlib) and baseline-sequential JPEG are built in
     pure-numpy; other containers raise until a codec is injected with
     :func:`register_codec`."""
-    head = bytes(data[:8])
     for magic, dec in _CODECS.items():
-        if head.startswith(magic):
+        # Per-magic full-length match (same rule as audio/video), so an
+        # injected codec with a magic longer than the built-ins' still
+        # matches.
+        if bytes(data[: len(magic)]) == magic:
             return dec(data)
     raise NotImplementedError(f"unknown image container: {data[:8]!r}")
 
@@ -117,9 +119,11 @@ def decode_audio(data: bytes) -> np.ndarray:
     stdlib ``wave`` parser + numpy frombuffer — no codec library needed
     for the uncompressed container. Compressed codecs (mp3/aac/ogg)
     raise until a decoder is injected with :func:`register_audio_codec`."""
-    head = bytes(data[:4])
     for magic, dec in _AUDIO_CODECS.items():
-        if head.startswith(magic):
+        # Match each magic against its own full length, so a codec
+        # registered with a >4-byte magic (e.g. an ID3-tagged mp3
+        # detector) still matches — same rule as decode_video.
+        if bytes(data[: len(magic)]) == magic:
             return dec(data)
     raise NotImplementedError(
         f"audio decode: unknown/compressed container {data[:4]!r}; "

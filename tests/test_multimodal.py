@@ -251,6 +251,37 @@ def test_video_codec_injection_seam():
         _VIDEO_CODECS.pop(b"FAKE")
 
 
+def test_long_magic_codecs_match_full_length():
+    """A codec registered with a magic longer than the built-ins' head
+    window still matches — image (>8 bytes) and audio (>4 bytes)
+    registries compare each magic against its own full length, same as
+    video."""
+    from table_recognition_spark.operators.multimodal import (
+        _AUDIO_CODECS,
+        _CODECS,
+        decode_audio,
+        decode_image,
+        register_audio_codec,
+        register_codec,
+    )
+
+    long_img = b"LONGIMAGEMAGIC"  # 14 bytes > the 8-byte PNG magic
+    long_aud = b"ID3\x04\x00\x00"  # 6 bytes > RIFF's 4
+    register_codec(long_img, lambda d: "img-decoded")
+    register_audio_codec(long_aud, lambda d: ("aud-decoded", 44100))
+    try:
+        assert decode_image(long_img + b"payload") == "img-decoded"
+        assert decode_audio(long_aud + b"payload") == ("aud-decoded", 44100)
+        # a partial prefix of the long magic must NOT match
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            decode_image(long_img[:6] + b"x" * 16)
+    finally:
+        _CODECS.pop(long_img)
+        _AUDIO_CODECS.pop(long_aud)
+
+
 @pytest.mark.spark
 def test_fixture_video_frame_stats_pinned(spark):
     """media_video_frame_stats decodes the seeded TRV0/JPEG fixture
