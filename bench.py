@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "text_length_quantiles",
     "text_mix_by_source",
     "text_quality_classifier",
+    "text_lang_id",
     "sketch_hll_distinct",
     "sketch_hll_users_daily",
     "sketch_cms_tokens",
@@ -249,11 +250,20 @@ def _time_query(spark, fn, sf_dir, repeats: int = 2, raw: dict | None = None,
     0.7 s preview of the same plan) is attributable from the record
     alone: consecutive queries with inflated EVERY-repeat times inside
     one wall-clock window = host contention; one slow repeat with a
-    quiet sibling = warm-up/GC; all-repeats-slow in isolation = real."""
+    quiet sibling = warm-up/GC; all-repeats-slow in isolation = real.
+
+    Adaptive repeats: when the fixed repeats still disagree by > 1.8×
+    the query gets up to 2 extra runs — the quiet re-run of the r5
+    suite showed a multi-minute contention window can cover BOTH
+    repeats of a long query (dedup_groups_cc recorded [42.8, 23.9]
+    against a 5 s quiet floor), and extra samples taken as the window
+    decays are the only in-suite way to escape it."""
     best = float("inf")
     times: list[float] = []
     ts0 = time.time()
-    for _ in range(repeats):
+
+    def one_run() -> None:
+        nonlocal best
         # drop caches a prior run may have left (dedup ops cache their
         # signature tables) so timings don't interfere
         spark.catalog.clearCache()
@@ -264,6 +274,14 @@ def _time_query(spark, fn, sf_dir, repeats: int = 2, raw: dict | None = None,
         dt = time.time() - t0
         times.append(round(dt, 3))
         best = min(best, dt)
+
+    for _ in range(repeats):
+        one_run()
+    extra = 0
+    while extra < 2 and max(times) > 1.8 * min(times):
+        # disagreement → at least one repeat was polluted; sample again
+        one_run()
+        extra += 1
     if raw is not None and name is not None:
         raw[name] = {"t": times, "ts": round(ts0, 1)}
     return best

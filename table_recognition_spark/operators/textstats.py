@@ -979,6 +979,150 @@ def quality_classifier_sql(buckets: int = CLS_BUCKETS) -> str:
     """
 
 
+LANGID_K = 40  # profile depth (top-K trigrams per language / document)
+
+
+def lang_id_ngram(spark, sf_dir, k: int = LANGID_K):
+    """Character-trigram language ID (Cavnar-Trenkle rank-profile
+    classification, 'N-Gram-Based Text Categorization', 1994): build a
+    top-``k`` trigram rank profile per language from the labeled corpus,
+    score every document's own top-``k`` profile against each language
+    profile with the out-of-place measure (|doc_rank - lang_rank|,
+    penalty ``k`` for absent trigrams), predict the argmin, and emit the
+    (true_lang, pred_lang, n_docs) confusion matrix.
+
+    All ties are broken deterministically (count desc, trigram asc;
+    score asc, lang asc) and every score is an integer, so the DuckDB
+    oracle matches exactly.
+
+    Scale shape: the corpus is scanned and exploded ONCE into per-doc
+    trigram counts (shuffled by doc — scales with the corpus); the
+    language profile is then a second aggregation over that already
+    doc-reduced output, keyed by (lang, trigram) whose cardinality is
+    bounded by the trigram alphabet, not the corpus. The profiles
+    (langs × k rows) and the language list are broadcast, so scoring
+    never shuffles anything but doc-keyed rows."""
+    docs = load(spark, sf_dir, "documents")
+    norm = norm_text(F.col("text"))
+    base = docs.select("doc_id", "lang", norm.alias("norm"))
+    n = F.length(F.col("norm"))
+    tris = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.substring(F.col("norm"), i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_tg = (
+        base.select("doc_id", "lang", F.explode(tris).alias("tg"))
+        .groupBy("doc_id", "lang", "tg")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    from pyspark.sql import Window
+
+    lang_w = Window.partitionBy("lang").orderBy(
+        F.desc("cnt"), F.asc("tg")
+    )
+    lang_prof = (
+        doc_tg.groupBy("lang", "tg")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("lrank", F.row_number().over(lang_w))
+        .filter(F.col("lrank") <= k)
+        .select("lang", "tg", "lrank")
+    )
+    doc_w = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.asc("tg")
+    )
+    doc_prof = (
+        doc_tg.withColumn("drank", F.row_number().over(doc_w))
+        .filter(F.col("drank") <= k)
+        .select("doc_id", "tg", "drank")
+    )
+
+    langs = docs.select("lang").distinct()
+    scored = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(lang_prof), ["lang", "tg"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("lrank")),
+                    F.lit(k),
+                ).cast("long")
+            ).alias("score")
+        )
+    )
+    pred_w = Window.partitionBy("doc_id").orderBy(
+        F.asc("score"), F.asc("lang")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(pred_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def lang_id_ngram_sql(k: int = LANGID_K) -> str:
+    norm = NORM_SQL.format(c="text")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, {norm} AS norm FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(
+                 range(1, greatest(length(norm) - 2, 0) + 1),
+                 i -> substr(norm, i, 3))) AS tg
+      FROM base
+    ),
+    doc_tg AS (
+      SELECT doc_id, lang, tg, count(*) AS cnt
+      FROM tri GROUP BY doc_id, lang, tg
+    ),
+    lang_prof AS (
+      SELECT lang, tg,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY sum(cnt) DESC, tg ASC) AS lrank
+      FROM doc_tg GROUP BY lang, tg
+      QUALIFY lrank <= {k}
+    ),
+    doc_prof AS (
+      SELECT doc_id, tg,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, tg ASC) AS drank
+      FROM doc_tg
+      QUALIFY drank <= {k}
+    ),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    scored AS (
+      SELECT d.doc_id, l.lang,
+             CAST(sum(coalesce(abs(d.drank - p.lrank), {k})) AS BIGINT)
+               AS score
+      FROM doc_prof d
+      CROSS JOIN langs l
+      LEFT JOIN lang_prof p ON p.lang = l.lang AND p.tg = d.tg
+      GROUP BY d.doc_id, l.lang
+    ),
+    pred AS (
+      SELECT doc_id, lang AS pred_lang
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score ASC, lang ASC) = 1
+    )
+    SELECT doc.lang AS true_lang, pred.pred_lang, count(*) AS n_docs
+    FROM documents doc JOIN pred ON doc.doc_id = pred.doc_id
+    GROUP BY true_lang, pred_lang
+    """
+
+
 QUERIES = {
     "text_doc_stats": doc_stats,
     "text_token_topk": token_topk,
@@ -993,6 +1137,7 @@ QUERIES = {
     "text_length_quantiles": length_quantiles,
     "text_mix_by_source": mix_by_source,
     "text_quality_classifier": quality_classifier,
+    "text_lang_id": lang_id_ngram,
 }
 
 ORACLES = {
@@ -1009,4 +1154,5 @@ ORACLES = {
     "text_length_quantiles": length_quantiles_sql(),
     "text_mix_by_source": mix_by_source_sql(),
     "text_quality_classifier": quality_classifier_sql(),
+    "text_lang_id": lang_id_ngram_sql(),
 }

@@ -136,3 +136,47 @@ def test_cms_never_undercounts(spark):
     est = min(sketch[(j, c)] for j, c in cells.items())
     assert est >= exact_n
     out.unpersist()
+
+
+@pytest.mark.spark
+def test_lang_id_planted_languages(spark, tmp_path):
+    """Three planted 'languages' with disjoint trigram inventories must
+    classify on the diagonal: the operator self-trains its rank profiles
+    from the labeled corpus, so every doc's own-language profile is the
+    out-of-place argmin."""
+    from table_recognition_spark.operators.textstats import lang_id_ngram
+
+    vocab = {
+        "aa": ["alpha", "apple", "arrow", "amber"],
+        "bb": ["zebra", "zulu", "zigzag", "zero"],
+        "cc": ["mango", "mocha", "motor", "mimic"],
+    }
+    rows = []
+    i = 0
+    for lang, words in vocab.items():
+        for k in range(6):
+            text = " ".join(words[(k + j) % 4] for j in range(12 + k))
+            rows.append((i, text, lang, f"s{i % 2}", len(text)))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in lang_id_ngram(spark, str(tmp_path)).collect()
+    }
+    assert out == {("aa", "aa"): 6, ("bb", "bb"): 6, ("cc", "cc"): 6}, out
+
+
+@pytest.mark.spark
+def test_lang_id_no_cartesian_no_udf(spark):
+    """The scoring join must broadcast the tiny profile tables (the only
+    cross join is doc-profile x the handful of languages) and the whole
+    operator stays JVM-side: no BatchEvalPython anywhere in the plan."""
+    from table_recognition_spark.operators.textstats import lang_id_ngram
+
+    p = _formatted_plan(lang_id_ngram(spark, SF))
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
