@@ -132,7 +132,8 @@ class _WideProbe:
 
 
 def _wait_quiet(budget_s: float, trace: list, wide: "_WideProbe | None" = None,
-                ) -> None:
+                narrow_factor: float = 1.35, wide_factor: float = 1.6,
+                wide_abs: float = 0.0) -> None:
     """Block (up to budget_s) until the host calibration looks quiet.
     Appends every sample to `trace` (surfaced in the bench JSON so a
     degraded-host run is visible in the record). Proceeds regardless
@@ -147,7 +148,17 @@ def _wait_quiet(budget_s: float, trace: list, wide: "_WideProbe | None" = None,
     because the wide probe's QUIET-state jitter is itself up to ~1.30×
     (measured 20-sample max/min on an idle host), while real contention
     inflates it 3-50× — 1.6× separates the two regimes cleanly where
-    1.35× would false-trip on quiet-host jitter."""
+    1.35× would false-trip on quiet-host jitter.
+
+    The defaults are the STRICT regime used between scaling children
+    (bare host, no resident JVM). The per-suite-query gate passes looser
+    narrow_factor/wide_factor/wide_abs: with the Spark JVM resident, the
+    wide probe's quiet-state readings float 0.05-0.7 s (post-query GC /
+    context-cleaner threads) against a 0.04 bare floor — the r5.2 smoke
+    run showed the strict gate false-tripping on ~every query and
+    burning 1030 s on a host whose query times were all quiet — while
+    real contention windows read ≥1 s; `w <= max(wide_factor*min_seen,
+    wide_abs)` with wide_abs≈0.8 separates those regimes."""
     global _PHASE_NARROW_MIN
     t0 = time.time()
     while True:
@@ -158,9 +169,9 @@ def _wait_quiet(budget_s: float, trace: list, wide: "_WideProbe | None" = None,
             round(best, 4) if w is None else [round(best, 4), round(w, 4)]
         )
         narrow_ok = (
-            best <= CALIB_DEGRADED and best <= 1.35 * _PHASE_NARROW_MIN
+            best <= CALIB_DEGRADED and best <= narrow_factor * _PHASE_NARROW_MIN
         )
-        wide_ok = w is None or w <= 1.6 * wide.min_seen
+        wide_ok = w is None or w <= max(wide_factor * wide.min_seen, wide_abs)
         if (narrow_ok and wide_ok) or time.time() - t0 > budget_s:
             return
         time.sleep(15)
@@ -186,6 +197,9 @@ BENCH_QUERIES = [
     "rel_events_json_props",
     "rel_q7_volume_shipping",
     "rel_churned_customers",
+    "rel_q4_order_priority",
+    "rel_q6_forecast_revenue",
+    "rel_q10_returned_items",
     "text_doc_stats",
     "text_token_topk",
     "text_rolling_fingerprint",
@@ -677,12 +691,54 @@ def main() -> None:
     if "--no-scaling" not in sys.argv:
         scaling_extra = _run_scaling(cpus)
 
+    # The headline + suite phases get a narrow+wide quiet gate like the
+    # scaling children, under one shared budget: the full r5 run showed
+    # a multi-minute contention window covering whole query families —
+    # uniformly polluted repeats ([20.2, 31.5] for a 4 s jaccard) agree
+    # with each other, so the adaptive-repeat trigger can't see them;
+    # only a pre-query host probe can. Unlike the scaling gate this one
+    # runs with the Spark JVM resident, whose post-query background
+    # threads keep the wide probe at 0.05-0.7 s against a 0.04 bare
+    # floor (r5.2 smoke: the strict 1.6× gate false-tripped on ~every
+    # query, 1030 s wasted on a quiet host) — so this gate only trips on
+    # STORM readings (≥3× floor AND ≥0.8 s absolute; real windows read
+    # 1-4.5 s). Quiet-host cost ~0.5 s/query; in a storm each query
+    # waits (up to 60 s, shared budget BENCH_QUERY_GATE_BUDGET) for the
+    # window to decay instead of recording garbage. The gate trace lands
+    # in the JSON either way, so a window that slips through is still
+    # attributable from the record.
+    global _PHASE_NARROW_MIN
+    _PHASE_NARROW_MIN = float("inf")
+    query_gate_budget = float(
+        os.environ.get("BENCH_QUERY_GATE_BUDGET", "600")
+    )
+    gate_spent = 0.0
+    gate_trace: list = []
+    gate_probe = _WideProbe()
+    for _ in range(2):  # bootstrap the relative minima
+        _PHASE_NARROW_MIN = min(_PHASE_NARROW_MIN, _calibrate()[0])
+        gate_probe.sample()
+
+    def gated(label: str) -> None:
+        nonlocal gate_spent
+        t0 = time.time()
+        _wait_quiet(
+            min(60.0, max(0.0, query_gate_budget - gate_spent)),
+            gate_trace,
+            gate_probe,
+            narrow_factor=1.6,
+            wide_factor=3.0,
+            wide_abs=0.8,
+        )
+        gate_spent += time.time() - t0
+
     raw: dict = {}
     n_docs, extract_sec = 0, 0.0
     spark = _build_spark(cpus, "bench_headline")
     n_docs = interleaved_docs(spark, sf_dir).count()
     if "extract_interleaved" in qs:
         # best of 2 — shared-VM noise (repeats inside _time_query)
+        gated("headline")
         extract_sec = _time_query(
             spark, qs["extract_interleaved"], sf_dir,
             raw=raw, name="extract_interleaved_headline",
@@ -699,12 +755,14 @@ def main() -> None:
         for name in BENCH_QUERIES:
             if name not in qs:
                 continue
+            gated(name)
             per_query[name] = round(
                 _time_query(spark, qs[name], sf_dir, raw=raw, name=name), 3
             )
         if per_query.get("extract_interleaved"):
             extract_sec = min(extract_sec, per_query["extract_interleaved"])
         _stop_and_kill_jvm(spark)
+    gate_probe.close()
     extract_sec = round(extract_sec, 3)
     per_query["extract_interleaved"] = extract_sec
 
@@ -722,6 +780,10 @@ def main() -> None:
         # dedup-family blow-up was unprovable without this)
         "queries_raw": raw,
         "bench_started_ts": round(BENCH_T0, 1),
+        # pre-query quiet-gate record: [narrow, wide] probe pairs in
+        # gate order, plus total seconds spent waiting out windows
+        "query_gate_calibration": gate_trace,
+        "query_gate_waited_s": round(gate_spent, 1),
     }
 
     result.update(scaling_extra)

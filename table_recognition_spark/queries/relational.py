@@ -543,6 +543,120 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 flavor: order-priority count over orders that have at
+    least one returned lineitem — a LEFT SEMI join (EXISTS). The semi
+    join shuffles only the pre-filtered returned slice of lineitem and
+    keeps one probe row per match (no fan-out), which is the
+    scale-correct EXISTS shape; the agg after it is tiny (5 groups)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    returned = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 flavor: single-row scan-aggregate whose entire predicate
+    set (date range, discount band, quantity cap) pushes down to the
+    parquet scan — the canonical pushdown/pruning showcase: at 100 TB
+    this reads two columns of the row groups the min/max stats admit,
+    with zero shuffle beyond the final 1-row partial-agg gather."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            cents(F.col("l_extendedprice") * F.col("l_discount"))
+        ).alias("revenue_c"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+Q6_SQL = f"""
+SELECT CAST(sum({cents_sql('l_extendedprice * l_discount')}) AS BIGINT) AS revenue_c,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark, sf_dir, k: int = 20):
+    """TPC-H Q10 flavor: top-k customers by revenue lost to returned
+    items in a quarter. Fact-fact join shuffles on orderkey with both
+    sides pre-filtered at the scan; customer/nation broadcast; the
+    top-k is a single total-ordered take, not a full sort at scale."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01")
+        & (F.col("o_orderdate") < "1997-10-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_c"),
+            cents(F.first("c_acctbal")).alias("acctbal_c"),
+        )
+        .orderBy(F.desc("revenue_c"), "c_custkey")
+        .limit(k)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS revenue_c,
+       {cents_sql('any_value(c_acctbal)')} AS acctbal_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_c DESC, c_custkey LIMIT 20
+"""
+
+
 QUERIES = {
     "rel_q1_pricing_summary": q1_pricing_summary,
     "rel_q3_shipping_priority": q3_shipping_priority,
@@ -557,6 +671,9 @@ QUERIES = {
     "rel_events_json_props": events_json_props,
     "rel_q7_volume_shipping": q7_volume_shipping,
     "rel_churned_customers": churned_customers,
+    "rel_q4_order_priority": q4_order_priority,
+    "rel_q6_forecast_revenue": q6_forecast_revenue,
+    "rel_q10_returned_items": q10_returned_items,
 }
 
 ORACLES = {
@@ -573,4 +690,7 @@ ORACLES = {
     "rel_events_json_props": EVENTS_JSON_SQL,
     "rel_q7_volume_shipping": Q7_SQL,
     "rel_churned_customers": CHURNED_SQL,
+    "rel_q4_order_priority": Q4_SQL,
+    "rel_q6_forecast_revenue": Q6_SQL,
+    "rel_q10_returned_items": Q10_SQL,
 }
