@@ -201,3 +201,53 @@ def test_hll_sketch_shuffles_registers_not_tokens(spark):
     tree = p.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
     assert "CartesianProduct" not in p, p[:1500]
+
+
+def test_q4_exists_stays_semi_join(spark):
+    """The EXISTS must execute as a LEFT SEMI join (one probe row per
+    match, no fan-out) with both scans pre-filtered at the source: a
+    refactor to inner-join + distinct re-shuffles the full returned
+    fan-out at 100 TB."""
+    from table_recognition_spark.queries.relational import (
+        q4_order_priority,
+    )
+
+    p = _formatted_plan(q4_order_priority(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in p, p[:1500]
+    assert "EqualTo(l_returnflag,R)" in p, p[:1500]
+    # lineitem side reads exactly the key + the pushed flag column
+    scans = [b for b in p.split("\n\n") if "ReadSchema" in b]
+    li = next(b for b in scans if "l_orderkey" in b)
+    assert "l_extendedprice" not in li and "l_quantity" not in li, li
+
+
+def test_q6_is_pure_pushdown_scan_agg(spark):
+    """Q6 must stay join-free with every predicate pushed to the scan
+    and a 4-column ReadSchema — the canonical pushdown showcase; its
+    only exchange is the single-row final-agg gather."""
+    import re
+
+    from table_recognition_spark.queries.relational import (
+        q6_forecast_revenue,
+    )
+
+    p = _formatted_plan(q6_forecast_revenue(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in p, p[:1200]
+    assert len(re.findall(r"\n\(\d+\) Exchange", p)) == 1, p[:1200]
+    scan = next(b for b in p.split("\n\n") if "ReadSchema" in b)
+    assert "PushedFilters" in scan and "GreaterThanOrEqual(l_shipdate" in scan, scan
+    for col in ("l_returnflag", "l_tax", "l_orderkey"):
+        assert col not in scan, scan
+
+
+def test_q10_broadcasts_dims_and_prunes(spark):
+    """Customer and nation must arrive as broadcast-hash joins (dims vs
+    a fact) and no join may degrade to a cartesian/nested-loop."""
+    from table_recognition_spark.queries.relational import (
+        q10_returned_items,
+    )
+
+    p = _formatted_plan(q10_returned_items(spark, "/root/testdata/sf0.001"))
+    assert p.count("BroadcastHashJoin") >= 2, p[:1500]
+    assert "CartesianProduct" not in p, p[:1500]
+    assert "BroadcastNestedLoopJoin" not in p, p[:1500]
