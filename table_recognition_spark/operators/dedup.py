@@ -156,6 +156,88 @@ def _shingle_df(docs, n: int = 3):
     )
 
 
+_SHINGLE_SIG_CACHE: dict = {"sess": None, "udf": None}
+
+
+def _minhash_sig_expr(shingles_col):
+    """The Catalyst-HOF minhash signature tree (round-2..4
+    implementation): sig[h] = array_min(transform(shingles,
+    t -> md5(h || ':' || t))) for h in 0..N_MINHASH-1. Kept as the
+    equality oracle for the fused UDF below (pinned by
+    tests/test_dedup_cap.py::test_fused_sig_udf_equals_hof_tree)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        lambda h: F.array_min(
+            F.transform(
+                shingles_col,
+                lambda t: F.md5(F.concat(h.cast("string"), F.lit(":"), t)),
+            )
+        ),
+    )
+
+
+def _shingle_sig_df(docs, n: int = 3):
+    """(doc_id, shingles, sig): distinct 3-token shingles plus the
+    N_MINHASH-hash minhash signature, both from ONE Arrow-batched
+    pandas UDF.
+
+    sig[h] = min over shingles of md5(f"{h}:{shingle}") — byte-identical
+    to the Catalyst tree in :func:`_minhash_sig_expr` (hex digests are
+    ASCII, so Python ``min``, Spark ``array_min`` and DuckDB
+    ``list_min`` order them identically) and to the DuckDB oracle in
+    :func:`dedup_minhash_lsh_sql`. Moving the 8×|shingles| md5's out of
+    nested interpreted HOF lambdas (per-element lambda dispatch,
+    ~3 s/6 k docs at sf0.1) into hashlib (~0.6 µs/call) makes the
+    signature stage vanish into the shingle scan. Works on streaming
+    DataFrames too (scalar pandas UDF, no aggregation), which is how
+    streaming/neardup.py keeps its signatures bit-identical to batch."""
+    import hashlib
+    import re
+
+    from pyspark.sql import SparkSession
+
+    P = docs.sparkSession.sparkContext.defaultParallelism
+    sess = SparkSession.getActiveSession()
+    if (
+        _SHINGLE_SIG_CACHE["udf"] is None
+        or _SHINGLE_SIG_CACHE["sess"] is not sess
+        or _SHINGLE_SIG_CACHE.get("n") != n
+    ):
+        pat = re.compile(TOKEN_PATTERN)
+        prefixes = [f"{h}:".encode() for h in range(N_MINHASH)]
+        md5 = hashlib.md5
+
+        @F.pandas_udf("shingles array<string>, sig array<string>")
+        def shingle_sig_pd(texts: pd.Series) -> pd.DataFrame:
+            sh_out, sig_out = [], []
+            for s in texts:
+                toks = pat.findall((s or "").lower())
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + n])
+                        for i in range(max(len(toks) - (n - 1), 1))
+                    )
+                )
+                enc = [x.encode() for x in sh]
+                sig_out.append(
+                    [
+                        min(md5(p + e).hexdigest() for e in enc)
+                        for p in prefixes
+                    ]
+                )
+                sh_out.append(sh)
+            return pd.DataFrame({"shingles": sh_out, "sig": sig_out})
+
+        _SHINGLE_SIG_CACHE["sess"] = sess
+        _SHINGLE_SIG_CACHE["udf"] = shingle_sig_pd
+        _SHINGLE_SIG_CACHE["n"] = n
+    return (
+        docs.repartition(P)
+        .select("doc_id", _SHINGLE_SIG_CACHE["udf"]("text").alias("ss"))
+        .select("doc_id", "ss.shingles", "ss.sig")
+    )
+
+
 def _shingle_df_hof(docs, n: int = 3):
     """The Catalyst-HOF shingle builder (round-2 implementation), kept
     as the equality oracle for the batch UDF above. The repartition
@@ -182,20 +264,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     keeps the candidate join sub-quadratic on low-entropy corpora.
     """
     docs = _with_planted_dups(load(spark, sf_dir, "documents"))
-    sh_df = _shingle_df(docs)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
-        lambda h: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda t: F.md5(F.concat(h.cast("string"), F.lit(":"), t)),
-            )
-        ),
-    )
-    base = sh_df.select("doc_id", "shingles", sig.alias("sig"))
     # base feeds three plan branches (banding + both sides of the verify
-    # join); cache it so the signature tree runs once
-    base = base.cache()
+    # join); cache it so the fused shingle+signature UDF runs once
+    base = _shingle_sig_df(docs).cache()
 
     bands = base.select(
         "doc_id",

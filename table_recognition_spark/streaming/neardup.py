@@ -14,8 +14,9 @@ full pairwise set. The reference has no streaming at all
 (SURVEY.md §2.9); this is brief-scope (training-data pipeline).
 
 Signature/banding/verify are bit-identical to the batch operator
-(same pandas-UDF shingles, same md5("h:shingle") minhash tree, same
-2 bands × 4 rows, same integer-crossed 2·|∩| ≥ |∪| threshold), pinned
+(the SAME fused shingle+md5("h:shingle")-signature pandas UDF —
+``operators/dedup.py::_shingle_sig_df`` — same 2 bands × 4 rows, same
+integer-crossed 2·|∩| ≥ |∪| threshold), pinned
 by tests/test_streaming_neardup.py against a batch-computed
 first-per-bucket oracle.
 
@@ -41,9 +42,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.dedup import (
     N_BANDS,
-    N_MINHASH,
     ROWS_PER_BAND,
-    _shingle_df,
+    _shingle_sig_df,
 )
 
 OUTPUT_SCHEMA = (
@@ -99,17 +99,7 @@ def _banded(docs: DataFrame) -> DataFrame:
     fixture rows the batch queries() entries inject live at the
     caller/fixture level (tests stage already-planted micro-batch
     files), never inside this public operator."""
-    sh_df = _shingle_df(docs)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
-        lambda h: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda t: F.md5(F.concat(h.cast("string"), F.lit(":"), t)),
-            )
-        ),
-    )
-    base = sh_df.select("doc_id", "shingles", sig.alias("sig")).select(
+    base = _shingle_sig_df(docs).select(
         "doc_id",
         F.array_join(F.array_sort("shingles"), _SEP).alias("shingles"),
         "sig",

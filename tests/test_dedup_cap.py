@@ -123,6 +123,46 @@ def test_batch_udf_shingles_equal_hof(spark, adversarial_dir):
     assert a == b
 
 
+def test_fused_sig_udf_equals_hof_tree(spark, adversarial_dir):
+    """The fused shingle+minhash-signature pandas UDF is byte-identical
+    to the Catalyst HOF signature tree (the round-2..4 implementation,
+    kept as oracle in _minhash_sig_expr) — shingles AND all N_MINHASH
+    hashes, including empty-text / len<n edge cases."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from table_recognition_spark.operators.dedup import (
+        _minhash_sig_expr,
+        _shingle_df_hof,
+        _shingle_sig_df,
+    )
+
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [9001, 9002, 9003, 9004],
+                "text": ["", "one", "two tokens", "Mixed CASE a1-b2\tx"],
+            }
+        )
+    )
+    docs = (
+        spark.read.parquet(f"{adversarial_dir}/documents.parquet")
+        .unionByName(extra)
+    )
+    fused = {
+        r["doc_id"]: (sorted(r["shingles"]), list(r["sig"]))
+        for r in _shingle_sig_df(docs).collect()
+    }
+    hof_df = _shingle_df_hof(docs).select(
+        "doc_id", "shingles", _minhash_sig_expr(F.col("shingles")).alias("sig")
+    )
+    hof = {
+        r["doc_id"]: (sorted(r["shingles"]), list(r["sig"]))
+        for r in hof_df.collect()
+    }
+    assert fused == hof
+
+
 @pytest.mark.spark
 def test_decontaminate_flags_all_planted_leaks(spark):
     """Every planted benchmark copy (doc_id >= plant offset) must be
