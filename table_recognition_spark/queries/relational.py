@@ -657,6 +657,156 @@ ORDER BY revenue_c DESC, c_custkey LIMIT 20
 """
 
 
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 flavor: revenue per supplier over a quarter, then the
+    max-revenue supplier(s) with ties kept — the CREATE VIEW + scalar
+    max of the original expressed as a 1-row max aggregate broadcast
+    back into the filter (no unpartitioned window, so nothing ever
+    funnels into a single partition). Revenue in integer cents so the
+    tie test is exact cross-engine. At scale the agg shuffles on
+    l_suppkey (supplier cardinality, no skew) and the scalar side is
+    one row regardless of corpus size."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("total_revenue_c")
+    )
+    mx = rev.agg(F.max("total_revenue_c").alias("max_rev_c"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_c") == F.col("max_rev_c"))
+        .drop("max_rev_c")
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_c")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS total_revenue_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_c
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q18_large_volume_customers(spark, sf_dir, min_qty: int = 300):
+    """TPC-H Q18 flavor: customers whose single orders total > 300
+    units. The HAVING-on-aggregated-subquery shape: lineitem aggregates
+    to one row per orderkey FIRST (map-side partial sums make this the
+    cheap pass over the big fact), the > threshold filter drops ~99% of
+    groups, and only the survivors join orders/customer — never the
+    raw lineitem rows. Quantities are integral doubles in this corpus,
+    so sum-in-cents is exact."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > min_qty * 100)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            cents(F.col("o_totalprice")).alias("totalprice_c"),
+            "sum_qty_c",
+        )
+        .orderBy(F.desc("sum_qty_c"), "o_orderkey")
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       {cents_sql('o_totalprice')} AS totalprice_c,
+       sum_qty_c
+FROM (
+  SELECT l_orderkey,
+         CAST(sum({cents_sql('l_quantity')}) AS BIGINT) AS sum_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum_qty_c > 30000
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty_c DESC, o_orderkey
+"""
+
+
+def q22_idle_customers(spark, sf_dir, cutoff: str = "2001-01-01"):
+    """TPC-H Q22 flavor: per-nation count + balance of above-average-
+    balance customers with no order since the cutoff. Two scale shapes
+    in one query: the global-average scalar is a 1-row aggregate
+    broadcast into the filter (condition written integer-exact as
+    acctbal_c * n > sum_c — no float average crosses the engine
+    boundary), and the "no recent order" test is a LEFT ANTI join
+    against the date-pruned slice of orders (shuffles only customers +
+    the recent slice, never all orders)."""
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "acctbal_c", cents(F.col("c_acctbal"))
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum("acctbal_c").alias("sum_c"), F.count("*").alias("n_pos")
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= cutoff)
+        .select("o_custkey")
+    )
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("acctbal_c") * F.col("n_pos") > F.col("sum_c"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("acctbal_c").alias("totacctbal_c"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q22_SQL = f"""
+WITH pos AS (
+  SELECT CAST(sum({cents_sql('c_acctbal')}) AS BIGINT) AS sum_c,
+         count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, count(*) AS numcust,
+       CAST(sum({cents_sql('c_acctbal')}) AS BIGINT) AS totacctbal_c
+FROM customer c
+JOIN nation ON c_nationkey = n_nationkey
+CROSS JOIN pos
+WHERE {cents_sql('c_acctbal')} * pos.n_pos > pos.sum_c
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  )
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 QUERIES = {
     "rel_q1_pricing_summary": q1_pricing_summary,
     "rel_q3_shipping_priority": q3_shipping_priority,
@@ -674,6 +824,9 @@ QUERIES = {
     "rel_q4_order_priority": q4_order_priority,
     "rel_q6_forecast_revenue": q6_forecast_revenue,
     "rel_q10_returned_items": q10_returned_items,
+    "rel_q15_top_supplier": q15_top_supplier,
+    "rel_q18_large_volume": q18_large_volume_customers,
+    "rel_q22_idle_customers": q22_idle_customers,
 }
 
 ORACLES = {
@@ -693,4 +846,7 @@ ORACLES = {
     "rel_q4_order_priority": Q4_SQL,
     "rel_q6_forecast_revenue": Q6_SQL,
     "rel_q10_returned_items": Q10_SQL,
+    "rel_q15_top_supplier": Q15_SQL,
+    "rel_q18_large_volume": Q18_SQL,
+    "rel_q22_idle_customers": Q22_SQL,
 }
