@@ -285,6 +285,7 @@ EXPECTED_ORACLE_QUERIES = [
     "media_audio_stats",
     "media_video_frame_stats",
     "sim_ivf_topk",
+    "dedup_semantic",
 ]
 
 

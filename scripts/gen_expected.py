@@ -46,6 +46,7 @@ EXPECTED_QUERIES = [
     "media_audio_stats",
     "media_video_frame_stats",
     "sim_ivf_topk",
+    "dedup_semantic",
 ]
 
 

@@ -1298,6 +1298,128 @@ def dedup_substring_spans_sql(w: int = SUBSTR_W) -> str:
     """
 
 
+# ------------------------------------------------------------ SemDeDup
+# Semantic dedup in embedding space, the SemDeDup shape (Abbas et al.
+# 2023, arXiv:2303.09540): k-means-cluster the corpus so the pairwise
+# cosine work is bounded within clusters (n²/k per cluster instead of
+# n² global), then inside each cluster greedily keep items scanned
+# farthest-from-the-cluster-mean first, dropping any item whose cosine
+# to an already-kept member is ≥ 0.95 (the paper's keep-low-centroid-
+# similarity policy, made deterministic).
+#
+# Determinism: the coarse quantizer is the SAME seeded k-means the IVF
+# ANN uses (_ivf_train_centroids: md5-roll sample, lowest-vec_id init,
+# fixed 5 Lloyd iterations); the greedy scan order is integer-exact —
+# distance² to the cluster's own member-mean compared via
+# n²·|x|² − 2n·(x·S) + |S|² with S the integer member sum (no float
+# division crosses the comparison); the dup test is the integer cosine
+# rule the embedding dedup already uses (dot>0 ∧ 400·dot² ≥ 361·na·nb ⇔
+# cosine ≥ 0.95). The one float step left is the cluster ASSIGNMENT
+# argmin (shared with sim_ivf_topk, same BLAS epistemics) → committed-
+# expected-parquet oracle, with the independent anchor in
+# tests/test_ops_round5.py (planted exact copies must drop, local numpy
+# mirror must agree).
+#
+# Scale: assignment is a scan-side map against broadcast centroids; the
+# greedy is applyInPandas per cluster — the sequential unit is one
+# cluster, exactly the unit the paper bounds by choosing k ∝ corpus/
+# target-cluster-size. A mega-cluster (skewed embedding space) is the
+# documented seam: raise SEM_CLUSTERS, or sub-split on a second k-means
+# level; the int64 order key holds to ~10^5-row clusters (n²·|x|² <
+# 2^63 at this quantization), beyond which the key needs object ints.
+
+_SEM_T = (400, 361)  # cosine ≥ 0.95, same rational rule as _COS_T
+
+
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup over the planted embedding corpus: (vec_id, cluster,
+    kept, kept_by) for every vector; kept_by = the kept member that
+    evicted a dropped one (null for keepers). Non-SQL-expressible
+    (iterative k-means + sequential greedy) → expected-parquet oracle."""
+    from .similarity import _ivf_train_centroids
+
+    q = _emb_quantized(spark, sf_dir).cache()
+    roll = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 100
+    )
+    sample = (
+        q.filter(roll < 50)
+        .select("vec_id", "qv")
+        .orderBy("vec_id")
+        .limit(4096)  # bounded driver materialization at any corpus size
+        .toPandas()
+    )
+    order = np.argsort(sample["vec_id"].to_numpy())
+    cent = _ivf_train_centroids(
+        np.stack(sample["qv"].to_numpy()[order]).astype(np.int64)
+    )
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("int")
+    def nearest_cluster(qv: pd.Series) -> pd.Series:
+        c = bc.value
+        if len(qv) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(qv.to_numpy()).astype(np.float64)
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    assigned = q.withColumn("cluster", nearest_cluster("qv"))
+
+    t_num, t_den = _SEM_T
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+        ids = pdf["vec_id"].to_numpy()
+        n2 = pdf["norm2"].to_numpy().astype(np.int64)
+        n = len(pdf)
+        S = X.sum(axis=0)
+        # integer-exact distance² to the member mean, scaled by n²
+        d2n = n * n * n2 - 2 * n * (X @ S) + int(S @ S)
+        scan = np.lexsort((ids, -d2n))  # farthest first, vec_id tiebreak
+        kept_rows: list[int] = []
+        kept_by = np.full(n, -1, dtype=np.int64)
+        kept = np.zeros(n, dtype=bool)
+        for i in scan:
+            if kept_rows:
+                K = X[kept_rows]
+                dots = K @ X[i]
+                dup = (dots > 0) & (
+                    t_num * dots * dots >= t_den * n2[kept_rows] * n2[i]
+                )
+                hits = np.nonzero(dup)[0]
+                if len(hits):
+                    kept_by[i] = ids[kept_rows[hits[0]]]
+                    continue
+            kept_rows.append(i)
+            kept[i] = True
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].to_numpy(),
+                "kept": kept,
+                "kept_by": [None if k else int(b)
+                            for k, b in zip(kept, kept_by)],
+            }
+        )
+
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(
+            _greedy,
+            "vec_id long, cluster int, kept boolean, kept_by long",
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1308,6 +1430,7 @@ QUERIES = {
     "dedup_groups_cc": dedup_groups_cc,
     "dedup_substring_spans": dedup_substring_spans,
     "decontaminate_ngram": decontaminate_ngram,
+    "dedup_semantic": dedup_semantic,
 }
 
 ORACLES = {

@@ -180,3 +180,99 @@ def test_lang_id_no_cartesian_no_udf(spark):
     assert "BatchEvalPython" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+@pytest.mark.spark
+def test_semantic_dedup_drops_planted_exact_copies(spark):
+    """SemDeDup anchor independent of the committed parquet: every
+    planted exact copy (vec_id + 100000) is bit-identical to its source
+    vector, so it lands in the same cluster and at most one of the pair
+    survives (both may drop when a third near-dup — e.g. the +200000
+    planting for vec_id % 77 == 0 sources — scans first and evicts
+    both); near-dup pairs (cos ≈ 0.989 ≥ 0.95 threshold) dedup whenever
+    clustering co-locates them (cross-cluster escapes are the
+    documented SemDeDup trade-off, so assert a floor, not totality)."""
+    from table_recognition_spark.operators.dedup import dedup_semantic
+
+    rows = dedup_semantic(spark, SF).collect()
+    by_id = {r.vec_id: r for r in rows}
+    exact = [r for r in rows if 100000 <= r.vec_id < 200000]
+    assert exact, "fixture must plant exact copies"
+    for r in exact:
+        orig = by_id[r.vec_id - 100000]
+        assert not (r.kept and orig.kept), f"pair {r.vec_id} both kept"
+    near = [r for r in rows if r.vec_id >= 200000]
+    deduped = sum(
+        1 for r in near if not (r.kept and by_id[r.vec_id - 200000].kept)
+    )
+    assert deduped >= 0.8 * len(near), (deduped, len(near))
+    # every dropped row names a kept keeper in its own cluster
+    for r in rows:
+        if not r.kept:
+            keeper = by_id[r.kept_by]
+            assert keeper.kept and keeper.cluster == r.cluster
+
+
+@pytest.mark.spark
+def test_semantic_dedup_matches_numpy_mirror(spark):
+    """The distributed greedy must equal a single-process numpy replay
+    of the same spec (same centroids, same integer order key, same
+    integer cosine rule) — the no-Spark anchor for the expected-parquet
+    oracle."""
+    import numpy as np
+
+    from table_recognition_spark.operators.dedup import (
+        _SEM_T, _emb_quantized, dedup_semantic,
+    )
+    from table_recognition_spark.operators.similarity import (
+        _ivf_train_centroids,
+    )
+
+    got = {
+        r.vec_id: (r.cluster, r.kept, r.kept_by)
+        for r in dedup_semantic(spark, SF).collect()
+    }
+
+    pdf = _emb_quantized(spark, SF).toPandas()
+    X = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+    ids = pdf["vec_id"].to_numpy()
+    n2 = pdf["norm2"].to_numpy().astype(np.int64)
+    # same seeded sample: md5(vec_id) roll < 50, lowest 4096 by vec_id
+    import hashlib
+
+    roll = np.array(
+        [
+            int(hashlib.md5(str(v).encode()).hexdigest()[:4], 16) % 100
+            for v in ids
+        ]
+    )
+    samp = np.argsort(ids[roll < 50])
+    cent = _ivf_train_centroids(X[roll < 50][samp])
+    d2 = (
+        (X.astype(float) ** 2).sum(1)[:, None]
+        - 2.0 * (X.astype(float) @ cent.T)
+        + (cent**2).sum(1)[None, :]
+    )
+    cluster = d2.argmin(1)
+    t_num, t_den = _SEM_T
+    exp = {}
+    for c in np.unique(cluster):
+        m = np.nonzero(cluster == c)[0]
+        Xc, idc, n2c = X[m], ids[m], n2[m]
+        n = len(m)
+        S = Xc.sum(0)
+        key = n * n * n2c - 2 * n * (Xc @ S) + int(S @ S)
+        kept_rows = []
+        for i in np.lexsort((idc, -key)):
+            kb = None
+            for j in kept_rows:
+                d = int(Xc[j] @ Xc[i])
+                if d > 0 and t_num * d * d >= t_den * int(n2c[j]) * int(
+                    n2c[i]
+                ):
+                    kb = int(idc[j])
+                    break
+            if kb is None:
+                kept_rows.append(i)
+            exp[int(idc[i])] = (int(c), kb is None, kb)
+    assert got == exp
