@@ -124,6 +124,99 @@ def rolling_fingerprint_sql(window: int = 8) -> str:
     """
 
 
+WINNOW_K = 5  # k-gram size (tokens)
+WINNOW_W = 4  # winnowing window; guarantee threshold t = w + k - 1
+POS_BASE = 100_000  # encode (hash, pos) as hash*POS_BASE + pos; pos < 1e5
+
+
+def _winnow_selected(docs, k: int, w: int):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-token gram, slide a w-hash window,
+    select the minimum hash per window (leftmost on ties), dedup the
+    selected (hash, pos) pairs per document. Any shared token run of
+    length >= w + k - 1 between two documents is guaranteed to share a
+    selected hash.
+
+    (hash, pos) is encoded as one BIGINT ``hash*POS_BASE + pos`` so a
+    plain integer ``array_min`` per window is exactly (min hash,
+    leftmost pos) — bit-identical in Spark and DuckDB. Pure built-ins;
+    map-only, never leaves the input partition. Staged ``withColumn``s
+    keep the hash array materialized once (CollapseProject won't inline
+    a non-cheap producer used per-window)."""
+    toks = tokens(F.col("text"))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("toks")) - (k - 1), F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, k))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        * POS_BASE
+        + i,
+    )
+    selected = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(F.col("kgram_h")) - (w - 1), F.lit(1)),
+                ),
+                lambda j: F.array_min(F.slice(F.col("kgram_h"), j, w)),
+            )
+        )
+    )
+    return (
+        docs.withColumn("toks", toks)
+        .withColumn("kgram_h", hashes)
+        .withColumn("selected", selected)
+    )
+
+
+def winnow_fingerprints(spark, sf_dir, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Per-document winnowing signature: fingerprint count, the minimum
+    encoded (hash,pos) fingerprint, and an md5 digest of the sorted
+    fingerprint set (compact cross-engine value check)."""
+    docs = load(spark, sf_dir, "documents")
+    return _winnow_selected(docs, k, w).select(
+        "doc_id",
+        F.size("selected").alias("n_fingerprints"),
+        F.element_at("selected", 1).alias("min_fp_encoded"),
+        F.md5(
+            F.concat_ws(",", F.transform("selected", lambda x: x.cast("string")))
+        ).alias("fp_digest"),
+    )
+
+
+def winnow_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    toks = tokens_sql("text")
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len({toks}) - {k - 1}, 1) + 1),
+               i -> ('0x' || substr(md5(array_to_string(
+                        list_slice({toks}, i, i + {k - 1}), ' ')), 1, 8))::BIGINT
+                    * {POS_BASE} + i
+             ) AS kgram_h
+      FROM documents
+    ),
+    sel AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(kgram_h) - {w - 1}, 1) + 1),
+               j -> list_min(list_slice(kgram_h, j, j + {w - 1}))
+             ))) AS selected
+      FROM hashed
+    )
+    SELECT doc_id,
+           len(selected) AS n_fingerprints,
+           selected[1] AS min_fp_encoded,
+           md5(array_to_string(list_transform(selected, x -> x::VARCHAR), ','))
+             AS fp_digest
+    FROM sel
+    """
+
+
 def dom_main_block(spark, sf_dir):
     """DOM-heuristic main-content classifier (boilerpipe-style signals)
     over templated HTML-ish documents: per document, the block-level
@@ -1127,6 +1220,7 @@ QUERIES = {
     "text_doc_stats": doc_stats,
     "text_token_topk": token_topk,
     "text_rolling_fingerprint": rolling_fingerprint,
+    "text_winnow_fingerprints": winnow_fingerprints,
     "text_dom_main_block": dom_main_block,
     "text_sample_stratified": sample_stratified,
     "text_bm25_topk": bm25_topk,
@@ -1144,6 +1238,7 @@ ORACLES = {
     "text_doc_stats": doc_stats_sql(),
     "text_token_topk": token_topk_sql(),
     "text_rolling_fingerprint": rolling_fingerprint_sql(),
+    "text_winnow_fingerprints": winnow_fingerprints_sql(),
     "text_dom_main_block": dom_main_block_sql(),
     "text_sample_stratified": sample_stratified_sql(),
     "text_bm25_topk": bm25_topk_sql(),

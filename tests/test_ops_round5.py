@@ -276,3 +276,51 @@ def test_semantic_dedup_matches_numpy_mirror(spark):
                 kept_rows.append(i)
             exp[int(idc[i])] = (int(c), kb is None, kb)
     assert got == exp
+
+
+@pytest.mark.spark
+def test_winnow_guarantee_shared_passage(spark):
+    """Winnowing guarantee (Schleimer et al. §3): any shared token run of
+    length >= w + k - 1 between two documents must share at least one
+    selected fingerprint HASH. Two docs embed the same 12-token passage
+    (t = 4 + 5 - 1 = 8) at different offsets; a third is disjoint."""
+    from pyspark.sql import functions as F
+
+    from table_recognition_spark.operators.textstats import (
+        POS_BASE,
+        WINNOW_K,
+        WINNOW_W,
+        _winnow_selected,
+    )
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words before " + passage + " trailing tail"),
+            (2, passage + " completely different ending here now"),
+            (3, "zulu yankee xray whiskey victor uniform tango sierra romeo"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: set(r["hashes"])
+        for r in _winnow_selected(docs, WINNOW_K, WINNOW_W)
+        .select(
+            "doc_id",
+            F.transform("selected", lambda x: (x - x % POS_BASE) / POS_BASE)
+            .cast("array<long>")
+            .alias("hashes"),
+        )
+        .collect()
+    }
+    assert out[1] & out[2], "shared passage must share a fingerprint hash"
+    assert not (out[1] & out[3]) and not (out[2] & out[3])
+
+
+@pytest.mark.spark
+def test_winnow_plan_map_only(spark):
+    """The winnowing signature never shuffles: map-only over the scan."""
+    from table_recognition_spark.operators.textstats import winnow_fingerprints
+
+    plan = _formatted_plan(winnow_fingerprints(spark, SF))
+    assert "Exchange" not in plan
