@@ -1216,6 +1216,121 @@ def lang_id_ngram_sql(k: int = LANGID_K) -> str:
     """
 
 
+LM_SCALE_BITS = 20  # fixed-point scale for the integer log2
+LM_SCALE = 1 << LM_SCALE_BITS
+LM_FLAG_MILLIBITS = 4_500  # avg surprisal > 4.5 bits/bigram → flagged (corpus tail)
+
+
+def lm_surprisal(spark, sf_dir):
+    """CCNet/KenLM-style bigram language-model quality filter, trained
+    on the corpus itself: per document, total and mean add-one-smoothed
+    bigram surprisal, with high-perplexity docs flagged.
+
+    Integer-exact cross-engine respec of ``-log2 p``: with
+    ``p(w2|w1) = (c12+1)/(c1+V)``, ``floor(log2(1/p))`` is computed as
+    ``length(bin((c1+V)*2^20 div (c12+1))) - 1 - 20`` — bit-length is
+    the integer log2, identical in Spark and DuckDB, no floats anywhere.
+    ``sum_inv_p`` (the summed fixed-point 1/p) rides along as the
+    full-precision tie-breaker the floor throws away.
+
+    Scale shape: bigram/unigram counts are map-side-partial groupBys
+    (hot stopword keys combine before the shuffle); the vocab-sized
+    unigram table broadcasts; only the bigram-count join shuffles on
+    (w1, w2)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bg = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w1"),
+                        F.element_at(F.col("toks"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    uni = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    vocab = uni.agg(F.count("*").alias("v"))
+    scored = (
+        bg.join(bi, ["w1", "w2"])
+        .join(F.broadcast(uni), ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("inv_p", F.expr(f"((c1 + v) * {LM_SCALE}) div (c12 + 1)"))
+        .withColumn(
+            "bits", F.length(F.bin(F.col("inv_p"))) - 1 - LM_SCALE_BITS
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("bits").alias("total_surprisal_bits"),
+        F.sum("inv_p").alias("sum_inv_p"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "total_surprisal_bits",
+        "sum_inv_p",
+        F.round(
+            F.col("total_surprisal_bits") * 1.0 / F.col("n_bigrams"), 6
+        ).alias("avg_bits"),
+        (
+            F.col("total_surprisal_bits") * 1000
+            > F.lit(LM_FLAG_MILLIBITS) * F.col("n_bigrams")
+        ).alias("high_perplexity"),
+    )
+
+
+def lm_surprisal_sql() -> str:
+    toks = tokens_sql("text")
+    return f"""
+    WITH bg AS (
+      SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(toks)),
+                 i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])
+               )) AS b
+        FROM (SELECT doc_id, {toks} AS toks FROM documents)
+        WHERE len(toks) >= 2
+      )
+    ),
+    uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    vocab AS (SELECT count(*) AS v FROM uni),
+    scored AS (
+      SELECT bg.doc_id,
+             ((uni.c1 + vocab.v) * {LM_SCALE}) // (bi.c12 + 1) AS inv_p,
+             length(bin(((uni.c1 + vocab.v) * {LM_SCALE}) // (bi.c12 + 1)))
+               - 1 - {LM_SCALE_BITS} AS bits
+      FROM bg
+      JOIN bi USING (w1, w2)
+      JOIN uni USING (w1)
+      CROSS JOIN vocab
+    ),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS n_bigrams,
+             CAST(sum(bits) AS BIGINT) AS total_surprisal_bits,
+             CAST(sum(inv_p) AS BIGINT) AS sum_inv_p
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, total_surprisal_bits, sum_inv_p,
+           round(total_surprisal_bits * 1.0 / n_bigrams, 6) AS avg_bits,
+           total_surprisal_bits * 1000 > {LM_FLAG_MILLIBITS} * n_bigrams
+             AS high_perplexity
+    FROM agg
+    """
+
+
 QUERIES = {
     "text_doc_stats": doc_stats,
     "text_token_topk": token_topk,
@@ -1232,6 +1347,7 @@ QUERIES = {
     "text_mix_by_source": mix_by_source,
     "text_quality_classifier": quality_classifier,
     "text_lang_id": lang_id_ngram,
+    "text_lm_surprisal": lm_surprisal,
 }
 
 ORACLES = {
@@ -1250,4 +1366,5 @@ ORACLES = {
     "text_mix_by_source": mix_by_source_sql(),
     "text_quality_classifier": quality_classifier_sql(),
     "text_lang_id": lang_id_ngram_sql(),
+    "text_lm_surprisal": lm_surprisal_sql(),
 }
