@@ -807,6 +807,131 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def retention_cohorts(spark, sf_dir):
+    """Weekly retention-cohort analysis over the events stream: cohort =
+    ISO week of a user's first event; for each (cohort, week-offset)
+    cell, distinct active users and event count. The classic
+    product-analytics triangle.
+
+    Scale shape: first-event is one map-side-partial ``min`` groupBy on
+    user_id; the cohort tag joins back on the same key (AQE can plan it
+    shuffle-free after the agg); the final cell agg is a count-distinct
+    keyed by (cohort, offset) — user-dimension cardinality, not event
+    cardinality. Week offsets stay integer-exact: both week-truncations
+    land on Mondays, so datediff is an exact multiple of 7."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (
+        ev.join(first, "user_id")
+        .withColumn("cohort_w", F.date_trunc("week", F.col("first_ts")))
+        .withColumn("event_w", F.date_trunc("week", F.col("ts")))
+        .groupBy(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("event_w"), F.col("cohort_w")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+tagged AS (
+  SELECT e.user_id,
+         date_trunc('week', f.first_ts) AS cohort_w,
+         date_trunc('week', e.ts) AS event_w
+  FROM events e JOIN first f USING (user_id)
+)
+SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort_w, event_w) / 7 AS INTEGER)
+         AS week_offset,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM tagged
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
+
+
+def q21_waiting_supplier(spark, sf_dir, k: int = 20):
+    """TPC-H Q21 flavor (suppliers who kept orders waiting) respec'd to
+    this schema: lateness = ``l_shipdate > o_orderdate + 90 days`` (the
+    fixture lineitem has no commit/receipt dates). Structure preserved:
+    a late lineitem counts iff the order has ANOTHER supplier (EXISTS →
+    left-semi) and no OTHER supplier was late on it (NOT EXISTS →
+    left-anti). All three self-join legs shuffle on l_orderkey — one
+    co-located key, no cartesian."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )
+
+
+Q21_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 QUERIES = {
     "rel_q1_pricing_summary": q1_pricing_summary,
     "rel_q3_shipping_priority": q3_shipping_priority,
@@ -827,6 +952,8 @@ QUERIES = {
     "rel_q15_top_supplier": q15_top_supplier,
     "rel_q18_large_volume": q18_large_volume_customers,
     "rel_q22_idle_customers": q22_idle_customers,
+    "rel_retention_cohorts": retention_cohorts,
+    "rel_q21_waiting_supplier": q21_waiting_supplier,
 }
 
 ORACLES = {
@@ -849,4 +976,6 @@ ORACLES = {
     "rel_q15_top_supplier": Q15_SQL,
     "rel_q18_large_volume": Q18_SQL,
     "rel_q22_idle_customers": Q22_SQL,
+    "rel_retention_cohorts": RETENTION_SQL,
+    "rel_q21_waiting_supplier": Q21_SQL,
 }
