@@ -84,3 +84,45 @@ def stream_extract(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sessions(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked session-window aggregation (the streaming analogue of
+    the batch ``rel_events_sessions`` lag/cumsum sessionization): Spark's
+    native ``session_window`` merges per-user event runs whose gaps are
+    under ``gap`` and emits each session once its window closes past the
+    watermark (append mode — exactly-once per session).
+
+    Scale shape: session state is hash-partitioned by user_id; state per
+    key is one open interval, not the event history."""
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    ev = spark.readStream.schema(schema).format("parquet").load(events_path)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_c"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "value_c",
+        )
+    )

@@ -159,3 +159,86 @@ def test_watermark_drops_late_events_append_mode(spark, tmp_path):
     assert got[("2024-01-01 10:00:00", "A")] == (3, 300)
     assert got[("2024-01-01 13:00:00", "A")] == (1, 100)
     assert ("2024-01-01 14:00:00", "A") not in got
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_stream_sessions_equals_batch(spark, tmp_path):
+    """Native session_window streaming sessionization: once the watermark
+    passes every real event (driven by a far-future sentinel), the
+    append-mode output must equal the batch session_window plan."""
+    import shutil
+
+    from table_recognition_spark.streaming.ingest import stream_sessions
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", events_dir / "e0.parquet")
+
+    stream = stream_sessions(spark, str(events_dir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # Two staggered far-future sentinels: the watermark only advances at
+    # the END of a batch, so closing the session that contains max(ts)
+    # needs one more data-carrying batch after the first sentinel (the
+    # flush batch isn't guaranteed under processAllAvailable). Sentinel
+    # sessions stay open and never emit; they're filtered by user_id.
+    # The file source only lists top-level files, so the sentinel must be
+    # a plain parquet FILE (pyarrow), not a df.write.parquet directory.
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    for i, days in enumerate((10, 20), start=1):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array(
+                    [max_ts + datetime.timedelta(days=days)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["sentinel"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array([""], pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(events_dir / f"e{i}.parquet"))
+        q.processAllAvailable()
+    q.stop()
+
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM sessions_out WHERE user_id >= 0"
+        ).collect()
+    }
+    exp = {
+        tuple(r)
+        for r in ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_c"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "value_c",
+        )
+        .collect()
+    }
+    assert got == exp and got
