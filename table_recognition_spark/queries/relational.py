@@ -932,6 +932,85 @@ LIMIT 20
 """
 
 
+def funnel_steps(spark, sf_dir, deadline_days: int = 7):
+    """Ordered funnel analysis (view → click → purchase): users whose
+    first view is followed by a later click, then a later purchase, all
+    inside ``deadline_days`` of the first view. Emits one row per step
+    with the surviving user count (the product-analytics funnel chart).
+
+    Scale shape: three user_id-keyed conditional-min aggregations
+    chained by joins on the same key — every shuffle reuses the user_id
+    partitioning; no event-cardinality self-join (the naive per-event
+    sequence match would be quadratic in events-per-user)."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (
+                F.col("ts")
+                <= F.col("t1") + F.expr(f"INTERVAL {deadline_days} DAYS")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.lit("1_view").alias("step"), F.count("*").alias("n_users"))
+        .unionAll(
+            c.agg(F.lit("2_click").alias("step"), F.count("*").alias("n_users"))
+        )
+        .unionAll(
+            p.agg(
+                F.lit("3_purchase").alias("step"),
+                F.count("*").alias("n_users"),
+            )
+        )
+        .orderBy("step")
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    AND e.ts <= c.t1 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT '1_view' AS step, count(*) AS n_users FROM v
+  UNION ALL
+  SELECT '2_click', count(*) FROM c
+  UNION ALL
+  SELECT '3_purchase', count(*) FROM p
+) ORDER BY step
+"""
+
+
 QUERIES = {
     "rel_q1_pricing_summary": q1_pricing_summary,
     "rel_q3_shipping_priority": q3_shipping_priority,
@@ -954,6 +1033,7 @@ QUERIES = {
     "rel_q22_idle_customers": q22_idle_customers,
     "rel_retention_cohorts": retention_cohorts,
     "rel_q21_waiting_supplier": q21_waiting_supplier,
+    "rel_funnel_steps": funnel_steps,
 }
 
 ORACLES = {
@@ -978,4 +1058,5 @@ ORACLES = {
     "rel_q22_idle_customers": Q22_SQL,
     "rel_retention_cohorts": RETENTION_SQL,
     "rel_q21_waiting_supplier": Q21_SQL,
+    "rel_funnel_steps": FUNNEL_SQL,
 }
