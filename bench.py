@@ -200,6 +200,12 @@ BENCH_QUERIES = [
     "rel_q4_order_priority",
     "rel_q6_forecast_revenue",
     "rel_q10_returned_items",
+    "rel_q15_top_supplier",
+    "rel_q18_large_volume",
+    "rel_q21_waiting_supplier",
+    "rel_q22_idle_customers",
+    "rel_retention_cohorts",
+    "rel_funnel_steps",
     "text_doc_stats",
     "text_token_topk",
     "text_rolling_fingerprint",
@@ -214,6 +220,8 @@ BENCH_QUERIES = [
     "text_mix_by_source",
     "text_quality_classifier",
     "text_lang_id",
+    "text_winnow_fingerprints",
+    "text_lm_surprisal",
     "sketch_hll_distinct",
     "sketch_hll_users_daily",
     "sketch_cms_tokens",
@@ -225,6 +233,7 @@ BENCH_QUERIES = [
     "dedup_embedding_recall",
     "dedup_groups_cc",
     "dedup_substring_spans",
+    "dedup_semantic",
     "decontaminate_ngram",
     "sim_bruteforce_topk",
     "sim_lsh_ann_topk",

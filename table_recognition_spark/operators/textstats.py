@@ -1233,13 +1233,16 @@ def lm_surprisal(spark, sf_dir):
     ``sum_inv_p`` (the summed fixed-point 1/p) rides along as the
     full-precision tie-breaker the floor throws away.
 
-    Scale shape: bigram/unigram counts are map-side-partial groupBys
-    (hot stopword keys combine before the shuffle); the vocab-sized
-    unigram table broadcasts; only the bigram-count join shuffles on
-    (w1, w2)."""
+    Scale shape: everything derives from ONE per-(doc, bigram) count
+    groupBy — its exchange is planned once and read back by all four
+    consumers (ReusedExchange), so the tokenize+explode runs a single
+    time. Per-occurrence sums become count-weighted sums over distinct
+    bigrams (identical integers, far fewer rows). Hot stopword keys
+    combine map-side; the vocab-sized unigram table broadcasts; only
+    the bigram-count join shuffles on (w1, w2)."""
     docs = load(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    bg = (
+    bgc = (
         docs.select("doc_id", toks.alias("toks"))
         .where(F.size("toks") >= 2)
         .select(
@@ -1254,13 +1257,14 @@ def lm_surprisal(spark, sf_dir):
                 )
             ).alias("b"),
         )
-        .select("doc_id", "b.w1", "b.w2")
+        .groupBy("doc_id", "b.w1", "b.w2")
+        .agg(F.count("*").alias("c"))
     )
-    uni = bg.groupBy("w1").agg(F.count("*").alias("c1"))
-    bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = bgc.groupBy("w1").agg(F.sum("c").alias("c1"))
+    bi = bgc.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
     vocab = uni.agg(F.count("*").alias("v"))
     scored = (
-        bg.join(bi, ["w1", "w2"])
+        bgc.join(bi, ["w1", "w2"])
         .join(F.broadcast(uni), ["w1"])
         .crossJoin(F.broadcast(vocab))
         .withColumn("inv_p", F.expr(f"((c1 + v) * {LM_SCALE}) div (c12 + 1)"))
@@ -1269,9 +1273,9 @@ def lm_surprisal(spark, sf_dir):
         )
     )
     agg = scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.sum("bits").alias("total_surprisal_bits"),
-        F.sum("inv_p").alias("sum_inv_p"),
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.col("c") * F.col("bits")).alias("total_surprisal_bits"),
+        F.sum(F.col("c") * F.col("inv_p")).alias("sum_inv_p"),
     )
     return agg.select(
         "doc_id",
@@ -1291,8 +1295,8 @@ def lm_surprisal(spark, sf_dir):
 def lm_surprisal_sql() -> str:
     toks = tokens_sql("text")
     return f"""
-    WITH bg AS (
-      SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+    WITH bgc AS (
+      SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS c
       FROM (
         SELECT doc_id,
                unnest(list_transform(
@@ -1302,25 +1306,27 @@ def lm_surprisal_sql() -> str:
         FROM (SELECT doc_id, {toks} AS toks FROM documents)
         WHERE len(toks) >= 2
       )
+      GROUP BY doc_id, b.w1, b.w2
     ),
-    uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-    bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    uni AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM bgc GROUP BY w1),
+    bi AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c12
+           FROM bgc GROUP BY w1, w2),
     vocab AS (SELECT count(*) AS v FROM uni),
     scored AS (
-      SELECT bg.doc_id,
+      SELECT bgc.doc_id, bgc.c,
              ((uni.c1 + vocab.v) * {LM_SCALE}) // (bi.c12 + 1) AS inv_p,
              length(bin(((uni.c1 + vocab.v) * {LM_SCALE}) // (bi.c12 + 1)))
                - 1 - {LM_SCALE_BITS} AS bits
-      FROM bg
+      FROM bgc
       JOIN bi USING (w1, w2)
       JOIN uni USING (w1)
       CROSS JOIN vocab
     ),
     agg AS (
       SELECT doc_id,
-             count(*) AS n_bigrams,
-             CAST(sum(bits) AS BIGINT) AS total_surprisal_bits,
-             CAST(sum(inv_p) AS BIGINT) AS sum_inv_p
+             CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(sum(c * bits) AS BIGINT) AS total_surprisal_bits,
+             CAST(sum(c * inv_p) AS BIGINT) AS sum_inv_p
       FROM scored GROUP BY doc_id
     )
     SELECT doc_id, n_bigrams, total_surprisal_bits, sum_inv_p,
