@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "sketch_hll_distinct",
     "sketch_hll_users_daily",
     "sketch_cms_tokens",
+    "sketch_bloom_membership",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_ngram",

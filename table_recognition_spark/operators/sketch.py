@@ -310,13 +310,143 @@ def cms_token_counts_sql(depth: int = CMS_DEPTH,
     """
 
 
+BLOOM_M = 16_384  # filter bits
+BLOOM_K = 3  # hash functions
+BLOOM_PROBE_MOD = 5  # member probes: every 5th doc
+BLOOM_SYNTH_PROBES = 100  # guaranteed-non-member probe keys
+
+
+def _bloom_pos(key_col, j: int):
+    """j-th Bloom position: 32-bit md5 prefix of ``key:j`` mod M."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(key_col, F.lit(f":{j}"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def bloom_membership(spark, sf_dir):
+    """Bloom-filter membership sketch over the corpus fingerprint set —
+    the primitive behind bloom-filtered semi-join pushdown (probe a
+    compact bitset before shipping rows to an expensive join). Builds a
+    K=3 / M=16384 filter from every document's md5(normalized text),
+    then probes it with a deterministic member subset (every 5th doc)
+    plus synthetic non-member keys, emitting predicted vs actual
+    membership per probe (false-positive rows are where they differ;
+    false negatives are impossible by construction).
+
+    Cross-engine exact: positions are 32-bit md5 prefixes mod M — pure
+    integers. The filter is carried as its DISTINCT set-position table
+    (vocabulary ≤ M rows), broadcast to the probe side: build is one
+    map-side-partial distinct, probe is a broadcast join — the exact
+    shape a 100-TB semi-join prefilter needs."""
+    docs = load(spark, sf_dir, "documents")
+    from .common import norm_text
+
+    keys = docs.select(F.md5(norm_text(F.col("text"))).alias("key")).distinct()
+    fpos = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("key"), j) for j in range(1, BLOOM_K + 1)])
+        ).alias("pos")
+    ).distinct()
+    member_probes = (
+        docs.where(F.col("doc_id") % BLOOM_PROBE_MOD == 0)
+        .select(F.md5(norm_text(F.col("text"))).alias("probe_key"))
+        .distinct()
+    )
+    synth = spark.range(BLOOM_SYNTH_PROBES).select(
+        F.concat(F.lit("probe:"), F.col("id").cast("string")).alias("probe_key")
+    )
+    probes = member_probes.unionAll(synth)
+    ppos = probes.select(
+        "probe_key",
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col("probe_key"), j) for j in range(1, BLOOM_K + 1)]
+            )
+        ).alias("pos"),
+    )
+    hits = (
+        ppos.join(F.broadcast(fpos), "pos")
+        .groupBy("probe_key")
+        .agg(F.count("*").alias("nhit"))
+    )
+    return (
+        probes.join(hits, "probe_key", "left")
+        .join(
+            F.broadcast(keys.withColumnRenamed("key", "probe_key")).withColumn(
+                "in_corpus", F.lit(True)
+            ),
+            "probe_key",
+            "left",
+        )
+        .select(
+            "probe_key",
+            (F.coalesce(F.col("nhit"), F.lit(0)) == BLOOM_K).alias(
+                "predicted_member"
+            ),
+            F.coalesce(F.col("in_corpus"), F.lit(False)).alias("actual_member"),
+        )
+        .orderBy("probe_key")
+    )
+
+
+def bloom_membership_sql() -> str:
+    from .common import NORM_SQL
+
+    norm = NORM_SQL.format(c="text")
+
+    def pos(key: str, j: int) -> str:
+        return (
+            f"(('0x' || substr(md5({key} || ':{j}'), 1, 8))::BIGINT"
+            f" % {BLOOM_M})"
+        )
+
+    kpos = ", ".join(pos("key", j) for j in range(1, BLOOM_K + 1))
+    ppos = ", ".join(pos("probe_key", j) for j in range(1, BLOOM_K + 1))
+    return f"""
+    WITH keys AS (
+      SELECT DISTINCT md5({norm}) AS key FROM documents
+    ),
+    fpos AS (
+      SELECT DISTINCT unnest([{kpos}]) AS pos FROM keys
+    ),
+    probes AS (
+      SELECT DISTINCT md5({norm}) AS probe_key FROM documents
+      WHERE doc_id % {BLOOM_PROBE_MOD} = 0
+      UNION ALL
+      SELECT 'probe:' || CAST(i AS VARCHAR)
+      FROM range(0, {BLOOM_SYNTH_PROBES}) t(i)
+    ),
+    ppos AS (
+      SELECT probe_key, unnest([{ppos}]) AS pos FROM probes
+    ),
+    hits AS (
+      SELECT probe_key, count(*) AS nhit
+      FROM ppos JOIN fpos USING (pos) GROUP BY probe_key
+    )
+    SELECT p.probe_key,
+           coalesce(h.nhit, 0) = {BLOOM_K} AS predicted_member,
+           k.key IS NOT NULL AS actual_member
+    FROM probes p
+    LEFT JOIN hits h USING (probe_key)
+    LEFT JOIN keys k ON k.key = p.probe_key
+    ORDER BY probe_key
+    """
+
+
 QUERIES = {
     "sketch_hll_distinct": hll_distinct_tokens,
     "sketch_hll_users_daily": hll_users_daily,
     "sketch_cms_tokens": cms_token_counts,
+    "sketch_bloom_membership": bloom_membership,
 }
 ORACLES = {
     "sketch_hll_distinct": hll_distinct_tokens_sql(),
     "sketch_hll_users_daily": hll_users_daily_sql(),
     "sketch_cms_tokens": cms_token_counts_sql(),
+    "sketch_bloom_membership": bloom_membership_sql(),
 }
