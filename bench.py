@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "sim_lsh_ann_topk",
     "sim_label_centroid_topk",
     "sim_ann_recall",
+    "sim_sq8_topk",
     "sim_ivf_topk",
     "media_image_stats",
     "media_patch_embeddings",

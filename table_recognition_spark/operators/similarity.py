@@ -309,11 +309,108 @@ def sim_ann_recall_sql() -> str:
     """
 
 
+SQ8_LEVELS = 127  # int8 symmetric quantization range
+
+
+def _sq8_idiv(m, s):
+    """Exact bigint m div s (both ≥ 0) without an integer-div builtin
+    usable inside a lambda: (m - m % s) is divisible by s, and IEEE
+    division of exact doubles with an integer true quotient < 2^53 is
+    exact — so this equals DuckDB's `//` bit-for-bit."""
+    return ((m - m % s) / s).cast("long")
+
+
+def sim_sq8_topk(spark, sf_dir):
+    """ANN top-k over int8 scalar-quantized vectors (the 4×-compression
+    scale path: a 100-TB float corpus probes from a 3-GB-per-billion
+    int8 index). scale = max|qv_i| per vector (pure bigint from the
+    milli-quantized ints); q8_i = sign·(|qv_i|·127 div scale); ranking
+    key = dot8 · scale_q · scale_c — the exact integer numerator of the
+    dequantized dot product, so no floats anywhere. Brute-force over
+    the compressed vectors; the IVF/LSH bucketing operators compose
+    with it unchanged."""
+    q = _quantized(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "qv",
+        F.array_max(F.transform("qv", F.abs)).alias("scale"),
+    )
+    sq = q.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            "qv",
+            lambda x: F.when(F.col("scale") == 0, F.lit(0).cast("long"))
+            .when(x < 0, -_sq8_idiv((-x) * SQ8_LEVELS, F.col("scale")))
+            .otherwise(_sq8_idiv(x * SQ8_LEVELS, F.col("scale"))),
+        ).alias("q8"),
+    )
+    queries = sq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q8").alias("q_q8"),
+        F.col("scale").alias("q_scale"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(sq, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot_pandas("q_q8", "q8")
+                * F.col("q_scale")
+                * F.col("scale")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "score")
+    )
+
+
+def sim_sq8_topk_sql() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> cast(round(x::DOUBLE*1000) AS bigint)) AS qv
+      FROM embeddings
+    ),
+    sq AS (
+      SELECT vec_id,
+             list_max(list_transform(qv, x -> abs(x))) AS scale,
+             list_transform(qv, x -> CASE
+               WHEN list_max(list_transform(qv, y -> abs(y))) = 0 THEN 0
+               WHEN x < 0 THEN -((-x) * {SQ8_LEVELS}
+                    // list_max(list_transform(qv, y -> abs(y))))
+               ELSE x * {SQ8_LEVELS}
+                    // list_max(list_transform(qv, y -> abs(y)))
+             END) AS q8
+      FROM q
+    ),
+    scored AS (
+      SELECT qq.vec_id AS query_id, c.vec_id AS vec_id,
+             list_dot_product(qq.q8, c.q8)::BIGINT
+               * qq.scale * c.scale AS score
+      FROM sq qq JOIN sq c ON c.vec_id != qq.vec_id
+      WHERE qq.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, rank, vec_id, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
 QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_ann_topk": sim_lsh_ann_topk,
     "sim_label_centroid_topk": sim_label_centroid_topk,
     "sim_ann_recall": sim_ann_recall,
+    "sim_sq8_topk": sim_sq8_topk,
 }
 
 ORACLES = {
@@ -321,6 +418,7 @@ ORACLES = {
     "sim_lsh_ann_topk": sim_lsh_ann_topk_sql(),
     "sim_label_centroid_topk": sim_label_centroid_topk_sql(),
     "sim_ann_recall": sim_ann_recall_sql(),
+    "sim_sq8_topk": sim_sq8_topk_sql(),
 }
 
 
