@@ -324,3 +324,84 @@ def test_winnow_plan_map_only(spark):
 
     plan = _formatted_plan(winnow_fingerprints(spark, SF))
     assert "Exchange" not in plan
+
+
+@pytest.mark.spark
+def test_new_queries_no_cartesian_no_row_udf(spark):
+    """Round-5 additions must keep the scale shapes: no cartesian /
+    nested-loop products anywhere, broadcast joins where a side is
+    bounded (bloom probe, LM unigram table, sq8 query set), and zero
+    per-row Python UDFs (BatchEvalPython) in any plan."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    names = [
+        "text_winnow_fingerprints",
+        "text_lm_surprisal",
+        "rel_retention_cohorts",
+        "rel_q21_waiting_supplier",
+        "rel_funnel_steps",
+        "sketch_bloom_membership",
+        "sim_sq8_topk",
+    ]
+    broadcast_required = {
+        "text_lm_surprisal",
+        "sketch_bloom_membership",
+    }
+    for name in names:
+        p = _formatted_plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in p, (name, p[:1200])
+        assert "BatchEvalPython" not in p, (name, p[:1200])
+        if name in broadcast_required:
+            assert "BroadcastHashJoin" in p, (name, p[:1200])
+        if name == "sim_sq8_topk":
+            # the 5-row query set fans out via a deliberate broadcast
+            # nested-loop (non-equi vec_id != query_id), same shape as
+            # sim_bruteforce_topk — the candidate side never shuffles
+            assert "BroadcastNestedLoopJoin" in p, (name, p[:1200])
+        if name == "rel_q21_waiting_supplier":
+            assert "LeftSemi" in p and "LeftAnti" in p, (name, p[:1500])
+
+
+@pytest.mark.spark
+def test_bloom_no_false_negatives_and_synth_probes(spark):
+    """Bloom invariants: every actual member must be predicted a member
+    (no false negatives, ever); synthetic probes are present and any
+    predicted&!actual rows are the measured false positives."""
+    from table_recognition_spark.operators.sketch import (
+        BLOOM_SYNTH_PROBES,
+        bloom_membership,
+    )
+
+    rows = bloom_membership(spark, SF).collect()
+    assert all(r["predicted_member"] for r in rows if r["actual_member"])
+    synth = [r for r in rows if r["probe_key"].startswith("probe:")]
+    assert len(synth) == BLOOM_SYNTH_PROBES
+    assert not any(r["actual_member"] for r in synth)
+
+
+@pytest.mark.spark
+def test_sq8_quantization_range_and_recall(spark):
+    """q8 components stay in [-127, 127]; the int8 path's top-10 must
+    overlap the exact milli-quantized top-10 heavily (>= 7/10 mean) —
+    quantization loses precision, not the neighbourhood."""
+    from pyspark.sql import functions as F
+
+    from table_recognition_spark.operators.similarity import (
+        N_QUERIES,
+        sim_bruteforce_topk,
+        sim_sq8_topk,
+    )
+
+    exact = {}
+    for r in sim_bruteforce_topk(spark, SF).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in sim_sq8_topk(spark, SF).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact[q] & approx[q]) / len(exact[q]) for q in exact
+    ]
+    assert len(recalls) == N_QUERIES
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+    _ = F
