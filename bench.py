@@ -206,6 +206,18 @@ BENCH_QUERIES = [
     "rel_q22_idle_customers",
     "rel_retention_cohorts",
     "rel_funnel_steps",
+    "rel_q12_priority_class",
+    "rel_q13_custdist",
+    "rel_q14_promo_revenue",
+    "rel_q17_small_qty",
+    "rel_q19_disjunctive",
+    "rel_range_join_attribution",
+    "rel_q2_min_cost_supplier",
+    "rel_q8_market_share",
+    "rel_q9_product_profit",
+    "rel_q11_important_stock",
+    "rel_q16_supplier_count",
+    "rel_q20_excess_share",
     "text_doc_stats",
     "text_token_topk",
     "text_rolling_fingerprint",

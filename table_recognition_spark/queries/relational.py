@@ -1011,6 +1011,654 @@ SELECT * FROM (
 """
 
 
+def q12_priority_by_class(spark, sf_dir):
+    """TPC-H Q12 flavor (shipmode respec: the testdata lineitem carries
+    no l_shipmode/commitdate, so the grouping attribute is l_returnflag
+    and the date window is a plain shipdate year): orders x lineitem
+    shuffle join -> conditional counts of high- vs low-priority orders
+    per class. The priority test is evaluated as a pre-shuffle
+    projection, so only (orderkey, flag, is_high) ever shuffles."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "2000-01-01")
+            & (F.col("l_shipdate") < "2001-01-01")
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '2000-01-01' AND l_shipdate < '2001-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 flavor: count-of-counts distribution of orders per
+    customer INCLUDING zero-order customers — the left-outer-join-then-
+    double-aggregate shape (the outer join is what Q4/Q22's semi/anti
+    joins cannot express). Both aggregates are partial-agg friendly;
+    the second groupBy shuffles one row per distinct count."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_custkey")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = c.join(o, c.c_custkey == o.o_custkey, "left_outer").groupBy(
+        "c_custkey"
+    ).agg(F.count("o_custkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_custkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN (
+    SELECT o_custkey FROM orders WHERE o_orderpriority <> '4-NOT SPECIFIED'
+  ) o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 flavor: promotion revenue share for one shipdate month.
+    lineitem x broadcast(part) -> single global conditional aggregate.
+    The share is emitted integer-exact as basis points via truncating
+    integer division (both operands nonnegative, so Spark's ``div`` and
+    DuckDB's ``//`` agree bit-for-bit) — no float ratio crosses the
+    engine boundary."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "2000-06-01")
+            & (F.col("l_shipdate") < "2000-07-01")
+        )
+        .withColumn(
+            "disc_c",
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+        )
+        .select("l_partkey", "disc_c")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("disc_c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("promo_c"),
+            F.sum("disc_c").alias("total_c"),
+        )
+        .withColumn(
+            "promo_share_bp", F.expr("promo_c * 10000 div total_c")
+        )
+    )
+
+
+Q14_SQL = f"""
+WITH j AS (
+  SELECT p_type,
+         {cents_sql('l_extendedprice * (1 - l_discount)')} AS disc_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= '2000-06-01' AND l_shipdate < '2000-07-01'
+)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN disc_c ELSE 0 END) AS BIGINT)
+         AS promo_c,
+       CAST(sum(disc_c) AS BIGINT) AS total_c,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN disc_c ELSE 0 END) * 10000
+            // sum(disc_c) AS BIGINT) AS promo_share_bp
+FROM j
+"""
+
+
+def q17_small_qty_revenue(spark, sf_dir, brand: str = "Brand#13"):
+    """TPC-H Q17 flavor: revenue from small-quantity lineitems of one
+    brand, where "small" means below 20% of that part's average order
+    quantity. The correlated scalar subquery becomes a per-part
+    aggregate re-joined (broadcast — one brand's parts are tiny) onto
+    the same filtered slice; the threshold test is written integer-
+    exact as ``qty_c * 5 * n < sum_q`` so no float average is ever
+    materialized. Sums are COALESCEd so the zero-match edge still
+    hash-compares."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == brand)
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            cents(F.col("l_quantity")).alias("qty_c"),
+            cents(F.col("l_extendedprice")).alias("price_c"),
+        )
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qty_c").alias("sum_q"), F.count("*").alias("n_li")
+    )
+    return (
+        li.join(F.broadcast(stats), "l_partkey")
+        .filter(F.col("qty_c") * 5 * F.col("n_li") < F.col("sum_q"))
+        .agg(
+            F.coalesce(F.sum("price_c"), F.lit(0)).alias("revenue_c"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH li AS (
+  SELECT l_partkey,
+         {cents_sql('l_quantity')} AS qty_c,
+         {cents_sql('l_extendedprice')} AS price_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+), s AS (
+  SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS sum_q,
+         count(*) AS n_li
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(COALESCE(sum(price_c), 0) AS BIGINT) AS revenue_c,
+       count(*) AS n_lines
+FROM li JOIN s USING (l_partkey)
+WHERE qty_c * 5 * n_li < sum_q
+"""
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 flavor: discounted revenue under a 3-arm disjunction of
+    (brand, size-range, quantity-range) predicates — the OR-of-ANDs
+    shape that exercises Catalyst's disjunction handling. The join
+    itself stays a plain broadcast equi-join on partkey; the
+    disjunction is a post-join filter, so no per-arm scan duplication
+    happens (one pass over lineitem)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "disc_c"
+        ),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = lambda b, s0, s1, q0, q1: (
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s0, s1)
+        & F.col("l_quantity").between(q0, q1)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            arm("Brand#11", 1, 15, 1, 20)
+            | arm("Brand#12", 10, 30, 10, 30)
+            | arm("Brand#13", 20, 50, 20, 50)
+        )
+        .agg(
+            F.coalesce(F.sum("disc_c"), F.lit(0)).alias("revenue_c"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(COALESCE(sum({cents_sql('l_extendedprice * (1 - l_discount)')}), 0)
+            AS BIGINT) AS revenue_c,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def range_join_attribution(spark, sf_dir, window_min: int = 30):
+    """Range (interval) join, binned: for every purchase event, count
+    the same user's view events in the preceding ``window_min`` minutes,
+    then report the distribution (views_30m -> n_purchases, zero
+    included). The non-equi time predicate is rewritten as the scalable
+    bin + equi-join pattern: both sides bucket ts into window-sized
+    bins, the probe side explodes into (bucket, bucket-1), the join is
+    a plain equi-join on (user_id, bucket), and the exact range test is
+    a residual filter — never a BroadcastNestedLoopJoin, so it survives
+    a 100x event-volume scale-up. All time arithmetic is integer
+    milliseconds (unix_millis vs epoch_ms), bit-exact cross-engine."""
+    w_ms = window_min * 60 * 1000
+    # events.ts is TIMESTAMP_NTZ; the session tz is pinned UTC
+    # (session.py:47) so the cast to TIMESTAMP is shift-free and
+    # unix_millis matches DuckDB's epoch_ms on the naive value exactly.
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ms").alias("v_ms"),
+        (F.col("ms") - F.col("ms") % w_ms).alias("v_bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ms",
+        (F.col("ms") - F.col("ms") % w_ms).alias("bucket"),
+    )
+    probe = purchases.withColumn(
+        "jb", F.explode(F.array(F.col("bucket"), F.col("bucket") - w_ms))
+    )
+    matched = (
+        probe.join(
+            views,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("jb") == F.col("v_bucket")),
+        )
+        .filter(
+            (F.col("v_ms") >= F.col("ms") - w_ms) & (F.col("v_ms") < F.col("ms"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("views_30m"))
+    )
+    per_purchase = purchases.join(matched, "event_id", "left_outer").select(
+        F.coalesce(F.col("views_30m"), F.lit(0)).alias("views_30m")
+    )
+    return (
+        per_purchase.groupBy("views_30m")
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("views_30m")
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+  WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id AS v_user, epoch_ms(ts) AS v_ms FROM events
+  WHERE event_type = 'view'
+), counted AS (
+  SELECT p.event_id,
+         CAST(count(v.v_user) AS BIGINT) AS views_30m
+  FROM p LEFT OUTER JOIN v
+    ON p.user_id = v.v_user
+   AND v.v_ms >= p.ms - 1800000 AND v.v_ms < p.ms
+  GROUP BY p.event_id
+)
+SELECT views_30m, count(*) AS n_purchases
+FROM counted GROUP BY views_30m ORDER BY views_30m
+"""
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 flavor (no partsupp table in this corpus, so the
+    part<->supplier relation is derived from lineitem): for each LARGE
+    part in a size band, the supplier offering the minimal observed
+    line price (cents), tie-broken to the lowest suppkey. The
+    correlated MIN subquery of the original is the argmin-via-encoded-
+    min pattern: (cost_c, suppkey) packs into one BIGINT
+    (cost_c * 100000 + suppkey, exact while suppkey < 1e5 and
+    cost_c < ~9e13), one min() per part recovers both — no window, no
+    second join back. Dimension joins broadcast."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            (
+                cents(F.col("l_extendedprice")) * 100000 + F.col("l_suppkey")
+            ).alias("enc"),
+        )
+    )
+    best = li.groupBy("p_partkey", "p_brand", "p_size").agg(
+        F.min("enc").alias("enc_min")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        best.withColumn("best_suppkey", F.col("enc_min") % 100000)
+        .withColumn(
+            "min_cost_c", F.expr("enc_min div 100000")
+        )
+        .join(
+            F.broadcast(s), F.col("best_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_brand", "p_size", "best_suppkey", "min_cost_c",
+            "s_name", "n_name",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+Q2_SQL = f"""
+WITH cand AS (
+  SELECT p_partkey, p_brand, p_size,
+         {cents_sql('l_extendedprice')} * 100000 + l_suppkey AS enc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+), best AS (
+  SELECT p_partkey, p_brand, p_size,
+         CAST(min(enc) % 100000 AS BIGINT) AS best_suppkey,
+         CAST(min(enc) // 100000 AS BIGINT) AS min_cost_c
+  FROM cand GROUP BY p_partkey, p_brand, p_size
+)
+SELECT p_partkey, p_brand, p_size, best_suppkey, min_cost_c, s_name, n_name
+FROM best
+JOIN supplier ON best_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY p_partkey
+"""
+
+
+def q8_market_share(spark, sf_dir, nation: str = "NATION_3"):
+    """TPC-H Q8 flavor: one nation's share of STANDARD-part revenue per
+    order year, in integer basis points. Two broadcast dims onto the
+    lineitem x orders shuffle join; the share is a conditional sum over
+    the same rows (one pass, no self-join) and the division is
+    truncating integer div on nonnegative operands (Spark ``div`` ==
+    DuckDB ``//`` exactly)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "vol_c"
+        ),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", "n_name")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("n_name") == nation, F.col("vol_c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_c"),
+            F.sum("vol_c").alias("total_c"),
+        )
+        .withColumn("share_bp", F.expr("nation_c * 10000 div total_c"))
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+WITH j AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         n_name,
+         {cents_sql('l_extendedprice * (1 - l_discount)')} AS vol_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_type = 'STANDARD'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN n_name = 'NATION_3' THEN vol_c ELSE 0 END)
+            AS BIGINT) AS nation_c,
+       CAST(sum(vol_c) AS BIGINT) AS total_c,
+       CAST(sum(CASE WHEN n_name = 'NATION_3' THEN vol_c ELSE 0 END) * 10000
+            // sum(vol_c) AS BIGINT) AS share_bp
+FROM j GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q9_product_type_profit(spark, sf_dir, name_like: str = "%small%"):
+    """TPC-H Q9 flavor: profit by (supplier nation, order year) for
+    parts whose name matches a pattern. The original's ps_supplycost is
+    respec'd as the part's retail price x quantity (the corpus has no
+    partsupp), keeping the join DAG identical: part + supplier +
+    nation broadcast onto lineitem, then one shuffle join against
+    orders, then a 2-key aggregate. Profit is computed per line in
+    integer cents BEFORE aggregation, so the cross-engine sum is exact
+    regardless of addition order."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(name_like))
+        .select("p_partkey", cents(F.col("p_retailprice")).alias("cost_c"))
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    amount = cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) - F.col("cost_c") * F.col("l_quantity").cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("n_name", "o_year", amount.alias("amount_c"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("amount_c").alias("profit_c"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)')}
+                - {cents_sql('p_retailprice')} * CAST(l_quantity AS BIGINT))
+            AS BIGINT) AS profit_c
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%small%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+def q11_important_stock(spark, sf_dir, permille: int = 1):
+    """TPC-H Q11 flavor: parts whose traded value through suppliers of
+    a nation group exceeds a per-mille fraction of the group total. The
+    correlated scalar (SELECT sum * fraction) becomes a 1-row aggregate
+    broadcast into the filter — same shape as Q15's scalar max — and
+    the fraction test is integer cross-multiplication
+    (value_c * 1000 > total_c), never a float threshold."""
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select("s_suppkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", cents(F.col("l_extendedprice")).alias("val_c"))
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("val_c").alias("value_c")
+    )
+    total = per_part.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * 1000 > F.col("total_c") * permille)
+        .select("l_partkey", "value_c")
+        .orderBy(F.desc("value_c"), "l_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum({cents_sql('l_extendedprice')}) AS BIGINT) AS value_c
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey < 5
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value_c
+FROM per_part
+WHERE value_c * 1000 > (SELECT sum(value_c) FROM per_part) * 1
+ORDER BY value_c DESC, l_partkey
+"""
+
+
+def q16_supplier_relationship_count(spark, sf_dir):
+    """TPC-H Q16 flavor: how many distinct suppliers serve each
+    (brand, type, size) part class, excluding flagged suppliers (the
+    original's complaints-LIKE subquery respec'd as negative account
+    balance). The exclusion is a broadcast LEFT ANTI join BEFORE the
+    distinct aggregation; the distinct itself rides the same
+    (class-keys, suppkey) shuffle as the count — one exchange total.
+    The part<->supplier relation derives from lineitem (no partsupp)."""
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(
+            F.broadcast(bad),
+            li.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_excess_share_suppliers(spark, sf_dir, name_like: str = "%small%"):
+    """TPC-H Q20 flavor: suppliers who dominate the year-2000 shipped
+    volume of some name-matched part (shipped share respec of the
+    availqty > 50% test: pair quantity x 2 > part total, integer-exact
+    on quantity cents). The nested IN-subquery chain of the original
+    becomes aggregate -> self-broadcast threshold join -> LEFT SEMI
+    onto supplier, so the big fact is read once and only (part, supp)
+    aggregates flow through the qualification."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(name_like))
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "2000-01-01")
+            & (F.col("l_shipdate") < "2001-01-01")
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", cents(F.col("l_quantity")).alias("q_c"))
+    )
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("q_c").alias("pair_q")
+    )
+    part_tot = pair.groupBy("l_partkey").agg(F.sum("pair_q").alias("tot_q"))
+    qual = (
+        pair.join(F.broadcast(part_tot), "l_partkey")
+        .filter(F.col("pair_q") * 2 > F.col("tot_q"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
+    return (
+        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, l_suppkey, {cents_sql('l_quantity')} AS q_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%small%'
+    AND l_shipdate >= '2000-01-01' AND l_shipdate < '2001-01-01'
+), pair AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(q_c) AS BIGINT) AS pair_q
+  FROM li GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey, CAST(sum(pair_q) AS BIGINT) AS tot_q
+  FROM pair GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_nationkey < 13
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM pair JOIN tot USING (l_partkey)
+    WHERE pair_q * 2 > tot_q
+  )
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "rel_q1_pricing_summary": q1_pricing_summary,
     "rel_q3_shipping_priority": q3_shipping_priority,
@@ -1034,6 +1682,18 @@ QUERIES = {
     "rel_retention_cohorts": retention_cohorts,
     "rel_q21_waiting_supplier": q21_waiting_supplier,
     "rel_funnel_steps": funnel_steps,
+    "rel_q12_priority_class": q12_priority_by_class,
+    "rel_q13_custdist": q13_customer_distribution,
+    "rel_q14_promo_revenue": q14_promo_revenue,
+    "rel_q17_small_qty": q17_small_qty_revenue,
+    "rel_q19_disjunctive": q19_disjunctive_revenue,
+    "rel_range_join_attribution": range_join_attribution,
+    "rel_q2_min_cost_supplier": q2_min_cost_supplier,
+    "rel_q8_market_share": q8_market_share,
+    "rel_q9_product_profit": q9_product_type_profit,
+    "rel_q11_important_stock": q11_important_stock,
+    "rel_q16_supplier_count": q16_supplier_relationship_count,
+    "rel_q20_excess_share": q20_excess_share_suppliers,
 }
 
 ORACLES = {
@@ -1059,4 +1719,16 @@ ORACLES = {
     "rel_retention_cohorts": RETENTION_SQL,
     "rel_q21_waiting_supplier": Q21_SQL,
     "rel_funnel_steps": FUNNEL_SQL,
+    "rel_q12_priority_class": Q12_SQL,
+    "rel_q13_custdist": Q13_SQL,
+    "rel_q14_promo_revenue": Q14_SQL,
+    "rel_q17_small_qty": Q17_SQL,
+    "rel_q19_disjunctive": Q19_SQL,
+    "rel_range_join_attribution": RANGE_JOIN_SQL,
+    "rel_q2_min_cost_supplier": Q2_SQL,
+    "rel_q8_market_share": Q8_SQL,
+    "rel_q9_product_profit": Q9_SQL,
+    "rel_q11_important_stock": Q11_SQL,
+    "rel_q16_supplier_count": Q16_SQL,
+    "rel_q20_excess_share": Q20_SQL,
 }

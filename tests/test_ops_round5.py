@@ -405,3 +405,110 @@ def test_sq8_quantization_range_and_recall(spark):
     assert len(recalls) == N_QUERIES
     assert sum(recalls) / len(recalls) >= 0.7, recalls
     _ = F
+
+
+@pytest.mark.spark
+def test_round5b_queries_plan_shapes(spark):
+    """The second batch of round-5 relational queries keeps the scale
+    shapes: q14/q17/q19 broadcast their bounded side onto the lineitem
+    fact (never shuffling the fact for a dim), q13's outer join stays a
+    hash join, and none of them degrade to cartesian products or
+    per-row Python."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    broadcast_required = {
+        "rel_q14_promo_revenue",
+        "rel_q17_small_qty",
+        "rel_q19_disjunctive",
+    }
+    for name in (
+        "rel_q12_priority_class",
+        "rel_q13_custdist",
+        "rel_q14_promo_revenue",
+        "rel_q17_small_qty",
+        "rel_q19_disjunctive",
+    ):
+        p = _formatted_plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in p, (name, p[:1200])
+        assert "BroadcastNestedLoopJoin" not in p, (name, p[:1200])
+        assert "BatchEvalPython" not in p, (name, p[:1200])
+        if name in broadcast_required:
+            assert "BroadcastHashJoin" in p, (name, p[:1200])
+
+
+@pytest.mark.spark
+def test_range_join_is_binned_equi_join(spark):
+    """The interval join must execute as the bucket-explode equi-join
+    rewrite — a SortMergeJoin/ShuffledHashJoin on (user_id, bucket)
+    with the range test as a residual — NEVER a nested-loop product,
+    which is what a naive `ON v_ms BETWEEN ms-w AND ms` plans as and
+    what dies first at 100x event volume."""
+    from table_recognition_spark.queries.relational import (
+        range_join_attribution,
+    )
+
+    p = _formatted_plan(range_join_attribution(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p, p[:1500]
+    assert "CartesianProduct" not in p, p[:1500]
+    assert "Explode" in p or "Generate" in p, p[:1500]
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p[:1500]
+
+
+@pytest.mark.spark
+def test_range_join_zero_view_purchases_kept(spark):
+    """Purchases with no preceding views inside the window must appear
+    in the views_30m = 0 bucket (left-outer semantics), and the
+    distribution must cover every purchase exactly once."""
+    from pyspark.sql import functions as F
+
+    from table_recognition_spark.operators.common import load
+    from table_recognition_spark.queries.relational import (
+        range_join_attribution,
+    )
+
+    dist = range_join_attribution(spark, SF).collect()
+    n_purchases = (
+        load(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["n_purchases"] for r in dist) == n_purchases
+    by_bucket = {r["views_30m"]: r["n_purchases"] for r in dist}
+    assert by_bucket.get(0, 0) > 0, by_bucket
+
+
+@pytest.mark.spark
+def test_round5c_tpch_plan_shapes(spark):
+    """Third batch (Q2/Q8/Q9/Q11/Q16/Q20 flavors): dims broadcast onto
+    the fact, the Q11 scalar arrives as a broadcast (never a shuffled
+    cross product of real cardinality), Q16's exclusion stays an anti
+    join, Q20's qualification ends in a semi join — and nothing plans a
+    cartesian product or per-row Python."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    for name in (
+        "rel_q2_min_cost_supplier",
+        "rel_q8_market_share",
+        "rel_q9_product_profit",
+        "rel_q11_important_stock",
+        "rel_q16_supplier_count",
+        "rel_q20_excess_share",
+    ):
+        p = _formatted_plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in p, (name, p[:1200])
+        assert "BatchEvalPython" not in p, (name, p[:1200])
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, (
+            name, p[:1200],
+        )
+        if name == "rel_q11_important_stock":
+            # the single-row total may legitimately plan as a broadcast
+            # nested loop (it IS a 1-row cross join); anything else no
+            pass
+        else:
+            assert "BroadcastNestedLoopJoin" not in p, (name, p[:1200])
+        if name == "rel_q16_supplier_count":
+            assert "LeftAnti" in p, (name, p[:1500])
+        if name == "rel_q20_excess_share":
+            assert "LeftSemi" in p, (name, p[:1500])
