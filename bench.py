@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "sketch_hll_users_daily",
     "sketch_cms_tokens",
     "sketch_bloom_membership",
+    "sketch_hist_quantiles",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_ngram",
@@ -785,6 +786,46 @@ def main() -> None:
         if per_query.get("extract_interleaved"):
             extract_sec = min(extract_sec, per_query["extract_interleaved"])
         _stop_and_kill_jvm(spark)
+
+        # Retry pass (round-5.3): a multi-minute contention window can
+        # cover BOTH fixed repeats of consecutive queries with readings
+        # that AGREE (the r5-final run: lm_surprisal [22.9, 24.8],
+        # minhash [13.9, 13.4], jaccard [21.5, 19.4] against isolated
+        # floors of 2-3 s, while the 8-wide gate probe read a quiet
+        # 0.05-0.47 s — this window type is invisible to both the
+        # adaptive-repeat trigger and the storm gate). The only robust
+        # in-suite defense is temporal separation: after the suite
+        # finishes (and the window has had minutes to decay), the
+        # slowest K queries re-run once each in a FRESH JVM and the
+        # reported value is the min across passes. Retry raws land
+        # under "<name>@retry" so both passes stay attributable.
+        retry_k = int(os.environ.get("BENCH_RETRY_SLOWEST", "8"))
+        if retry_k > 0 and per_query:
+            slowest = sorted(
+                (n for n in per_query if n in qs),
+                key=lambda n: -per_query[n],
+            )[:retry_k]
+            spark = _build_spark(cpus, "bench_retry")
+            for t in ("lineitem", "orders", "events", "documents",
+                      "embeddings"):
+                spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+            # one warm-up query absorbs python-worker spin-up so the
+            # first retry doesn't carry it
+            _time_query(spark, qs[slowest[0]], sf_dir, repeats=1)
+            for name in slowest:
+                gated(f"{name}@retry")
+                t_retry = _time_query(
+                    spark, qs[name], sf_dir, raw=raw,
+                    name=f"{name}@retry", repeats=1,
+                )
+                per_query[name] = round(
+                    min(per_query[name], t_retry), 3
+                )
+            if per_query.get("extract_interleaved"):
+                extract_sec = min(
+                    extract_sec, per_query["extract_interleaved"]
+                )
+            _stop_and_kill_jvm(spark)
     gate_probe.close()
     extract_sec = round(extract_sec, 3)
     per_query["extract_interleaved"] = extract_sec

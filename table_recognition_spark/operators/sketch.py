@@ -27,7 +27,7 @@ integers per partition, not the token universe.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from .common import load, tokens, tokens_sql
 
@@ -438,15 +438,95 @@ def bloom_membership_sql() -> str:
     """
 
 
+HIST_QUANTILES = (50, 90, 99)
+
+
+def histogram_quantiles(spark, sf_dir):
+    """Mergeable binned-histogram quantile sketch: per-source p50/p90/
+    p99 of document length from power-of-2 bins — the distributed
+    alternative to an exact per-source sort (see text_length_quantiles)
+    when the corpus is too large to rank. Everything is integer-exact
+    cross-engine:
+
+    - bin = floor(log2(n_chars)) via the bit-length identity
+      ``length(bin(x)) - 1`` (no libm);
+    - partial state = (source, bin) counts — map-side combinable and
+      mergeable by plain addition, the defining sketch property: at
+      100 TB the only shuffle payload is |sources| x ~40 bins rows;
+    - quantile q = the smallest bin whose running count reaches
+      ceil(q * total / 100) (integer ceil division), reported as the
+      bin's inclusive upper bound 2^(bin+1) - 1 — a guaranteed
+      overestimate of the true quantile by < 2x.
+
+    The per-source doc count rides along so the sketch's resolution is
+    auditable in the output."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        (F.length(F.bin(F.greatest(F.col("n_chars"), F.lit(1)))) - 1)
+        .cast("long")
+        .alias("b"),
+    )
+    hist = d.groupBy("source", "b").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy("source")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(tot_w)
+    )
+    aggs = [F.count("*").alias("n_bins"), F.max("total").alias("n_docs")]
+    for q in HIST_QUANTILES:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.col("total") * q,
+                    F.expr("shiftleft(1L, cast(b + 1 AS int)) - 1L"),
+                )
+            ).alias(f"p{q}_ub")
+        )
+    return cum.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def histogram_quantiles_sql() -> str:
+    qcols = ",\n       ".join(
+        f"CAST(min(CASE WHEN cum * 100 >= total * {q} "
+        f"THEN (CAST(1 AS BIGINT) << (b + 1)) - 1 END) AS BIGINT) AS p{q}_ub"
+        for q in HIST_QUANTILES
+    )
+    return f"""
+WITH hist AS (
+  SELECT source,
+         CAST(length(bin(greatest(n_chars, 1))) - 1 AS BIGINT) AS b,
+         count(*) AS cnt
+  FROM documents GROUP BY source, b
+), cum AS (
+  SELECT source, b, cnt,
+         sum(cnt) OVER (PARTITION BY source ORDER BY b
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS total
+  FROM hist
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(max(total) AS BIGINT) AS n_docs,
+       {qcols}
+FROM cum GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct": hll_distinct_tokens,
     "sketch_hll_users_daily": hll_users_daily,
     "sketch_cms_tokens": cms_token_counts,
     "sketch_bloom_membership": bloom_membership,
+    "sketch_hist_quantiles": histogram_quantiles,
 }
 ORACLES = {
     "sketch_hll_distinct": hll_distinct_tokens_sql(),
     "sketch_hll_users_daily": hll_users_daily_sql(),
     "sketch_cms_tokens": cms_token_counts_sql(),
     "sketch_bloom_membership": bloom_membership_sql(),
+    "sketch_hist_quantiles": histogram_quantiles_sql(),
 }

@@ -512,3 +512,40 @@ def test_round5c_tpch_plan_shapes(spark):
             assert "LeftAnti" in p, (name, p[:1500])
         if name == "rel_q20_excess_share":
             assert "LeftSemi" in p, (name, p[:1500])
+
+
+@pytest.mark.spark
+def test_hist_quantile_sketch_bounds_exact(spark):
+    """The binned sketch's reported bound is its bin's inclusive upper
+    bound, so for every source and every q: exact_pq <= pq_ub < 2 *
+    max(exact_pq, 1) — the < 2x guarantee of power-of-2 bins. Also the
+    plan must shuffle only (source, bin) aggregates, never raw docs:
+    no pandas UDF, one partial-agg exchange feeding the windows."""
+    import duckdb
+
+    from table_recognition_spark.operators.sketch import (
+        HIST_QUANTILES,
+        histogram_quantiles,
+    )
+
+    rows = {r["source"]: r for r in histogram_quantiles(spark, SF).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    for q in HIST_QUANTILES:
+        exact = dict(
+            con.execute(
+                "SELECT source, CAST(quantile_disc(n_chars, "
+                f"{q / 100.0}) AS BIGINT) FROM documents GROUP BY source"
+            ).fetchall()
+        )
+        for src, r in rows.items():
+            ub = r[f"p{q}_ub"]
+            assert exact[src] <= ub < 2 * max(exact[src], 1), (
+                q, src, exact[src], ub,
+            )
+    p = _formatted_plan(histogram_quantiles(spark, SF))
+    assert "BatchEvalPython" not in p
+    assert "partial_count" in p or "HashAggregate" in p, p[:800]
