@@ -872,7 +872,8 @@ def pack_sequences_sql() -> str:
 # is the cost; sources are few and the sorted payload is one long per
 # doc, so this is a classic totally-skewed-but-tiny analytics query —
 # for a pathological single mega-source you'd swap in a two-level
-# rank-sketch, which the docstring leaves as the documented seam.
+# rank-sketch — sketch.histogram_quantiles is that drop-in (mergeable
+# (source, bin) counts, no per-source sort), at < 2x bound resolution.
 
 QUANTILES_BP = (2500, 5000, 7500, 9500)
 
