@@ -814,9 +814,12 @@ def main() -> None:
             _time_query(spark, qs[slowest[0]], sf_dir, repeats=1)
             for name in slowest:
                 gated(f"{name}@retry")
+                # 2 repeats, not 1: the adaptive-extra trigger inside
+                # _time_query needs a disagreeing pair to fire, giving a
+                # polluted retry up to 4 chances to land in a lull
                 t_retry = _time_query(
                     spark, qs[name], sf_dir, raw=raw,
-                    name=f"{name}@retry", repeats=1,
+                    name=f"{name}@retry", repeats=2,
                 )
                 per_query[name] = round(
                     min(per_query[name], t_retry), 3

@@ -7,6 +7,8 @@ These streams exist for continuous ingestion of new document partitions:
 - ``stream_events_hourly``: watermarked tumbling-window aggregation over
   the events table read as a file stream (the same logical plan as the
   batch ``rel_events_hourly``).
+- ``stream_view_purchase_join``: watermarked stream-stream range join
+  (state bounded by watermark + window on both sides).
 - ``stream_extract``: foreachBatch wrapper that runs the extraction
   pipeline on each micro-batch of docs — exactly-once via the
   checkpointed sink contract.
@@ -124,5 +126,62 @@ def stream_sessions(
             ),
             "n_events",
             "value_c",
+        )
+    )
+
+
+def stream_view_purchase_join(
+    spark: SparkSession,
+    events_path: str,
+    window_min: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream range join — the streaming analogue of
+    the batch ``rel_range_join_attribution``: every purchase is matched
+    to the same user's view events in the preceding ``window_min``
+    minutes, emitting one (purchase event_id, view ts) row per match.
+
+    The time-range condition bounds BOTH sides' join state: Spark keeps
+    a view only until the watermark guarantees no future purchase can
+    reach back to it (view_ts >= purchase_ts - window), and a purchase
+    only while in-window views may still arrive — so state is
+    O(events inside watermark + window), never the stream history.
+    Inner-join matches emit as they are found (append mode); the
+    watermark exists purely for state eviction, which is why a bounded
+    file-stream drive needs no flush sentinel.
+
+    Scale shape: the join state is hash-partitioned by user_id on both
+    sides — the streaming twin of the batch rewrite's (user_id, bucket)
+    equi-join shuffle."""
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    ev = spark.readStream.schema(schema).format("parquet").load(events_path)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", watermark)
+    )
+    return (
+        purchases.join(
+            views,
+            (F.col("user_id") == F.col("v_user"))
+            & (
+                F.col("v_ts")
+                >= F.col("ts") - F.expr(f"interval {window_min} minutes")
+            )
+            & (F.col("v_ts") < F.col("ts")),
+        )
+        .select(
+            "event_id",
+            F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
         )
     )

@@ -242,3 +242,55 @@ def test_stream_sessions_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == exp and got
+
+
+@pytest.mark.spark
+def test_stream_range_join_equals_batch(spark, tmp_path):
+    """The stream-stream range join must emit exactly the batch join's
+    (purchase, view_ts) match set — inner-join matches emit without any
+    watermark flush, so a bounded drive needs no sentinel."""
+    import shutil
+
+    from table_recognition_spark.streaming.ingest import (
+        stream_view_purchase_join,
+    )
+
+    events_dir = tmp_path / "events_rj"
+    events_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", events_dir / "e0.parquet")
+
+    stream = stream_view_purchase_join(spark, str(events_dir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rj_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM rj_out").collect()}
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    exp = {
+        tuple(r)
+        for r in p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("ts") - F.expr("interval 30 minutes"))
+            & (F.col("v_ts") < F.col("ts")),
+        )
+        .select(
+            "event_id",
+            F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        )
+        .collect()
+    }
+    assert got == exp
+    assert len(got) > 0
