@@ -1015,9 +1015,11 @@ def q12_priority_by_class(spark, sf_dir):
     """TPC-H Q12 flavor (shipmode respec: the testdata lineitem carries
     no l_shipmode/commitdate, so the grouping attribute is l_returnflag
     and the date window is a plain shipdate year): orders x lineitem
-    shuffle join -> conditional counts of high- vs low-priority orders
-    per class. The priority test is evaluated as a pre-shuffle
-    projection, so only (orderkey, flag, is_high) ever shuffles."""
+    join -> conditional counts of high- vs low-priority orders per
+    class. Both scans are pruned to 2 columns, the shipdate window is
+    pushed to the lineitem scan, and the final aggregate is partial
+    (map-side) over 3 distinct flags — the only wide shuffle is the
+    orderkey join (AQE broadcasts the filtered side when it fits)."""
     li = (
         load(spark, sf_dir, "lineitem")
         .filter(
