@@ -9,6 +9,8 @@ These streams exist for continuous ingestion of new document partitions:
   batch ``rel_events_hourly``).
 - ``stream_view_purchase_join``: watermarked stream-stream range join
   (state bounded by watermark + window on both sides).
+- ``stream_hll_users_daily_registers``: streaming HLL register maxes
+  (the max-merge property is what makes the sketch streamable).
 - ``stream_extract``: foreachBatch wrapper that runs the extraction
   pipeline on each micro-batch of docs — exactly-once via the
   checkpointed sink contract.
@@ -185,3 +187,41 @@ def stream_view_purchase_join(
             F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
         )
     )
+
+
+def stream_hll_users_daily_registers(
+    spark: SparkSession, events_path: str, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Streaming per-day distinct-user HLL — the register stream behind
+    the batch ``sketch_hll_users_daily``: (day, register, running max
+    rho). HLL registers are max-mergeable, which is exactly what makes
+    the sketch streamable: the stateful aggregation keeps ONE integer
+    per (day, register) key — 64 longs per day, not the user set — and
+    an incremental max over micro-batches is bit-identical to the batch
+    max over the full table. The same md5/register/rho arithmetic as
+    the batch operator (operators/sketch.py), so finalizing the emitted
+    registers with the integer estimate formula reproduces the batch
+    sketch exactly (pinned by tests/test_streaming.py).
+
+    Update output mode: each micro-batch re-emits the keys it touched;
+    the last emission per key is the final register state."""
+    from ..operators.sketch import M_REGISTERS, _rho_case_sql
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    ev = spark.readStream.schema(schema).format("parquet").load(events_path)
+    hashed = ev.withWatermark("ts", watermark).select(
+        F.window("ts", "1 day").alias("w"),
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    ).select(
+        F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+        F.col("w"),
+        (F.conv(F.substring("h", 1, 2), 16, 10).cast("long") % M_REGISTERS)
+        .alias("reg"),
+        F.conv(F.substring("h", 3, 4), 16, 10).cast("long").alias("v"),
+    )
+    return hashed.groupBy("day", "w", "reg").agg(
+        F.max(F.expr(_rho_case_sql("v"))).alias("rho")
+    ).select("day", "reg", "rho")

@@ -294,3 +294,57 @@ def test_stream_range_join_equals_batch(spark, tmp_path):
     }
     assert got == exp
     assert len(got) > 0
+
+
+@pytest.mark.spark
+def test_stream_hll_registers_equal_batch_sketch(spark, tmp_path):
+    """HLL registers are max-mergeable, so the streaming per-(day, reg)
+    running max — folded with the integer estimate formula — must equal
+    the batch sketch_hll_users_daily output bit-for-bit."""
+    import shutil
+
+    from table_recognition_spark.operators.sketch import (
+        M_REGISTERS,
+        RHO_BITS,
+        ALPHA_MILLI,
+        hll_users_daily,
+    )
+    from table_recognition_spark.streaming.ingest import (
+        stream_hll_users_daily_registers,
+    )
+
+    events_dir = tmp_path / "events_hll"
+    events_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", events_dir / "e0.parquet")
+
+    stream = stream_hll_users_daily_registers(spark, str(events_dir))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hll_regs")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # fold: last emission per (day, reg) is the running max = final state
+    regs = {}
+    for r in spark.sql("SELECT * FROM hll_regs").collect():
+        regs[(r["day"], r["reg"])] = r["rho"]
+    per_day = {}
+    for (day, _), rho in regs.items():
+        per_day.setdefault(day, []).append(rho)
+    est_num = ALPHA_MILLI * M_REGISTERS * M_REGISTERS * (1 << (RHO_BITS + 1))
+    got = {}
+    for day, rhos in per_day.items():
+        s_inv = sum(1 << (RHO_BITS + 1 - rho) for rho in rhos) + (
+            M_REGISTERS - len(rhos)
+        ) * (1 << (RHO_BITS + 1))
+        got[day] = (s_inv, M_REGISTERS - len(rhos), est_num // s_inv)
+
+    exp = {
+        r["day"]: (r["s_inv"], r["zero_regs"], r["est_milli"])
+        for r in hll_users_daily(spark, SF).collect()
+    }
+    assert got == exp
+    assert len(got) > 1
