@@ -1,0 +1,54 @@
+"""Range-layout write: row-group statistics must actually prune.
+
+The same rows written in arrival order vs range-clustered order; a
+selective n_chars range predicate must be able to skip most row groups
+of the laid-out table (footer metadata only) while skipping ~nothing on
+the arrival-order write — the write-side half of predicate pushdown.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_recognition_spark.operators.common import load
+from table_recognition_spark.operators.layout import (
+    rowgroup_prune_stats,
+    write_range_layout,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.spark
+def test_range_layout_prunes_rowgroups(spark, tmp_path):
+    docs = load(spark, SF, "documents")
+    lo_q, hi_q = docs.approxQuantile("n_chars", [0.4, 0.5], 0.0)
+    lo, hi = int(lo_q), int(hi_q)
+
+    plain = str(tmp_path / "plain")
+    laid = str(tmp_path / "laid")
+    # arrival order, same file count as the layout for a fair contrast
+    docs.repartition(8).write.parquet(plain)
+    write_range_layout(docs, laid, ["n_chars", "doc_id"], n_files=8)
+
+    s_plain = rowgroup_prune_stats(plain, "n_chars", lo, hi)
+    s_laid = rowgroup_prune_stats(laid, "n_chars", lo, hi)
+
+    # arrival order: every row group spans the domain -> nothing prunes
+    assert s_plain["matching"] == s_plain["total"]
+    # range layout: a ~10%-selectivity predicate touches a minority
+    assert s_laid["total"] >= 8
+    assert s_laid["matching"] * 2 <= s_laid["total"], s_laid
+
+    # correctness: the laid-out table is the same multiset of rows
+    a = spark.read.parquet(laid)
+    assert a.count() == docs.count()
+    assert (
+        a.agg(F.sum(F.crc32(F.col("doc_id").cast("string")))).first()[0]
+        == docs.agg(
+            F.sum(F.crc32(F.col("doc_id").cast("string")))
+        ).first()[0]
+    )
+    # and the filtered scans agree
+    got = a.filter(F.col("n_chars").between(lo, hi)).count()
+    exp = docs.filter(F.col("n_chars").between(lo, hi)).count()
+    assert got == exp
