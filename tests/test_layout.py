@@ -52,3 +52,25 @@ def test_range_layout_prunes_rowgroups(spark, tmp_path):
     got = a.filter(F.col("n_chars").between(lo, hi)).count()
     exp = docs.filter(F.col("n_chars").between(lo, hi)).count()
     assert got == exp
+
+
+@pytest.mark.spark
+def test_partitionby_write_prunes_directories(spark, tmp_path):
+    """Hive-style partitioned write: a lang filter must become a
+    PartitionFilter (metadata-only directory pruning — zero data files
+    of other partitions opened), the coarser sibling of the row-group
+    pruning above."""
+    docs = load(spark, SF, "documents")
+    out = str(tmp_path / "by_lang")
+    docs.write.partitionBy("lang").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    scan = next(b for b in plan.split("\n\n") if "ReadSchema" in b)
+    assert "PartitionFilters" in scan and "lang" in scan, scan
+    # equality with the unpartitioned filter
+    assert df.count() == docs.filter(F.col("lang") == "en").count()
