@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "rel_q11_important_stock",
     "rel_q16_supplier_count",
     "rel_q20_excess_share",
+    "rel_rolling_active_users",
     "text_doc_stats",
     "text_token_topk",
     "text_rolling_fingerprint",

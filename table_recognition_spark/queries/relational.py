@@ -1661,6 +1661,55 @@ ORDER BY s_suppkey
 """
 
 
+def rolling_active_users(spark, sf_dir, window_days: int = 7):
+    """Rolling 7-day distinct active users per day. Spark (and SQL
+    generally) cannot run count(DISTINCT) over a RANGE window frame, so
+    the scalable rewrite is: dedup to (day, user) once (the only pass
+    over the raw events), explode each pair to the ``window_days`` days
+    it stays active for, and count distinct per target day. The explode
+    multiplies the already-deduped day-level pairs — days x users x 7
+    rows, independent of raw event volume. Days are integer epoch days
+    (bit-exact cross-engine); only days present in the data are
+    reported (same rule both sides)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(
+            F.unix_millis(F.col("ts").cast("timestamp")) / 86400000
+        ).cast("long").alias("day"),
+        "user_id",
+    )
+    day_user = ev.distinct()
+    present = day_user.select("day").distinct()
+    fanned = day_user.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + (window_days - 1)
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        fanned.join(present, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias(f"active_{window_days}d"))
+        .orderBy("day")
+    )
+
+
+ROLLING_ACTIVE_SQL = """
+WITH day_user AS (
+  SELECT DISTINCT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day, user_id
+  FROM events
+), fanned AS (
+  SELECT day + o AS day, user_id
+  FROM day_user, unnest(range(0, 7)) t(o)
+)
+SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+FROM fanned
+WHERE day IN (SELECT day FROM day_user)
+GROUP BY day ORDER BY day
+"""
+
+
 QUERIES = {
     "rel_q1_pricing_summary": q1_pricing_summary,
     "rel_q3_shipping_priority": q3_shipping_priority,
@@ -1696,6 +1745,7 @@ QUERIES = {
     "rel_q11_important_stock": q11_important_stock,
     "rel_q16_supplier_count": q16_supplier_relationship_count,
     "rel_q20_excess_share": q20_excess_share_suppliers,
+    "rel_rolling_active_users": rolling_active_users,
 }
 
 ORACLES = {
@@ -1733,4 +1783,5 @@ ORACLES = {
     "rel_q11_important_stock": Q11_SQL,
     "rel_q16_supplier_count": Q16_SQL,
     "rel_q20_excess_share": Q20_SQL,
+    "rel_rolling_active_users": ROLLING_ACTIVE_SQL,
 }
