@@ -296,11 +296,87 @@ def _expected_sql(name: str) -> str | None:
     return f"SELECT * FROM read_parquet('{path}/*.parquet')"
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# The driver's correctness gate checks the FIRST 50 queries() entries in
+# dict insertion order (round-5 lesson: 82 entries registered
+# family-by-family put 35 rel_* + 15 text_* in the window and nothing
+# else). This list pins the window composition: every family is
+# represented — all 4 extraction queries, media, all of dedup/sim/sketch,
+# layout + streaming, 8 relational plan-shape representatives, and the
+# text operators (including the round-5 additions that had never had a
+# driver-side check). Everything NOT in this list still runs under the
+# pytest DuckDB mirror (tests/test_queries_duckdb.py runs every oracle).
+DRIVER_WINDOW = [
+    # extraction flagship family (expected-parquet oracles)
+    "extract_interleaved",
+    "extract_interleaved_visibility",
+    "extract_interleaved_visual",
+    "extract_from_pagexml",
+    "gt_repair_rows",
+    "dataset_split_load",
+    # media decode
+    "media_image_stats",
+    "media_patch_embeddings",
+    "media_audio_stats",
+    "media_video_frame_stats",
+    # dedup (all 10)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_jaccard_ngram",
+    "dedup_embedding_cosine",
+    "dedup_embedding_recall",
+    "dedup_groups_cc",
+    "dedup_substring_spans",
+    "decontaminate_ngram",
+    "dedup_semantic",
+    # similarity (all 6)
+    "sim_bruteforce_topk",
+    "sim_lsh_ann_topk",
+    "sim_label_centroid_topk",
+    "sim_ann_recall",
+    "sim_sq8_topk",
+    "sim_ivf_topk",
+    # sketches (all 5)
+    "sketch_hll_distinct",
+    "sketch_hll_users_daily",
+    "sketch_cms_tokens",
+    "sketch_bloom_membership",
+    "sketch_hist_quantiles",
+    # scan-pruning layout + streaming sessionization (new round 6)
+    "layout_prune_stats",
+    "stream_events_sessions",
+    # 8 relational representatives, one per plan shape (agg pipeline,
+    # join+topk, sessionization, as-of, range join, rolling window,
+    # funnel, json extraction); the other TPC-H flavors share these
+    # shapes and stay under the pytest mirror
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_events_sessions",
+    "rel_asof_last_event",
+    "rel_range_join_attribution",
+    "rel_rolling_active_users",
+    "rel_funnel_steps",
+    "rel_events_json_props",
+    # 9 text representatives (lm_surprisal first: never driver-checked
+    # before round 6)
+    "text_lm_surprisal",
+    "text_lang_id",
+    "text_quality_classifier",
+    "text_winnow_fingerprints",
+    "text_bm25_topk",
+    "text_doc_stats",
+    "text_pii_scrub",
+    "text_pack_sequences",
+    "text_length_quantiles",
+]
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from table_recognition_spark.operators import (
-        dedup, similarity, sketch, textstats,
+        dedup, layout, similarity, sketch, textstats,
     )
     from table_recognition_spark.queries import relational
+    from table_recognition_spark.streaming import ingest
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
@@ -308,6 +384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dedup.QUERIES)
     q.update(similarity.QUERIES)
     q.update(sketch.QUERIES)
+    q.update(layout.QUERIES)
+    q["stream_events_sessions"] = ingest.stream_events_sessions
     # non-SQL-expressible (GNN kernel / binary decode) → oracled via the
     # committed-expected-parquet pattern (EXPECTED_ORACLE_QUERIES above)
     q["extract_interleaved"] = _extract_interleaved
@@ -323,11 +401,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _all_queries()
+    missing = [n for n in DRIVER_WINDOW if n not in q]
+    assert not missing, f"DRIVER_WINDOW names unknown queries: {missing}"
+    ordered = {n: q[n] for n in DRIVER_WINDOW}
+    ordered.update((n, f) for n, f in q.items() if n not in ordered)
+    return ordered
+
+
 def oracle_sql() -> dict[str, str]:
     from table_recognition_spark.operators import (
-        dedup, similarity, sketch, textstats,
+        dedup, layout, similarity, sketch, textstats,
     )
     from table_recognition_spark.queries import relational
+    from table_recognition_spark.streaming import ingest
 
     o: dict[str, str] = {}
     o.update(relational.ORACLES)
@@ -335,6 +423,8 @@ def oracle_sql() -> dict[str, str]:
     o.update(dedup.ORACLES)
     o.update(similarity.ORACLES)
     o.update(sketch.ORACLES)
+    o.update(layout.ORACLES)
+    o["stream_events_sessions"] = ingest.STREAM_SESSIONS_SQL
     o["dataset_split_load"] = DATASET_SPLIT_SQL
     o["gt_repair_rows"] = _gt_repair_sql()
     for name in EXPECTED_ORACLE_QUERIES:

@@ -132,6 +132,112 @@ def stream_sessions(
     )
 
 
+def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated smoke of the streaming sessionizer: drive the
+    ``stream_sessions`` file stream over the fixture events to
+    completion (bounded micro-batches + two staggered far-future
+    sentinel files to flush the watermark past every real event — the
+    watermark only advances at batch END, so closing the session that
+    contains max(ts) needs one more data-carrying batch after the
+    first sentinel), then return the append-mode session rows.
+
+    The DuckDB oracle recomputes the same sessions relationally
+    (lag-gap sessionization at FULL microsecond precision — Spark's
+    ``session_window`` merges an event exactly ``gap`` after its
+    predecessor, i.e. a new session iff diff > gap, verified
+    empirically; session end = last event + gap). This puts Spark's
+    stateful session semantics under the cross-engine hash gate, not
+    just pytest.
+
+    Scale shape: unchanged from ``stream_sessions`` — state is one
+    open interval per (user, session), hash-partitioned by user_id."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="trs_sessions_stream_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "e0.parquet"),
+    )
+    name = "sessions_smoke_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_sessions(spark, src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    max_ts = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .agg(F.max("ts"))
+        .first()[0]
+    )
+    # sentinel sessions (user_id = -1) stay open and never emit; the
+    # file source lists top-level FILES, so write plain parquet files
+    for i, days in enumerate((10, 20), start=1):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array(
+                    [max_ts + datetime.timedelta(days=days)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["sentinel"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array([""], pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(src, f"e{i}.parquet"))
+        q.processAllAvailable()
+    q.stop()
+    # (user_id, session_start) is a unique sort key: two sessions of
+    # one user are by construction > gap apart
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    )
+
+
+STREAM_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+sess AS (
+  SELECT user_id, min(ts) AS mn, max(ts) AS mx,
+         count(*) AS n_events,
+         CAST(sum(cast(round(value*100) as bigint)) AS BIGINT) AS value_c
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       strftime(mn, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(mx + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+           AS session_end,
+       n_events, value_c
+FROM sess ORDER BY user_id, session_start
+"""
+
+
 def stream_view_purchase_join(
     spark: SparkSession,
     events_path: str,

@@ -55,6 +55,22 @@ def test_range_layout_prunes_rowgroups(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_layout_prune_stats_query_prunes_and_pins_rowgroups(spark):
+    """The driver-gated layout query must (a) show real pruning — the
+    3/16-of-domain predicate touches a strict minority of row groups —
+    and (b) satisfy the oracle's one-row-group-per-bucket-file
+    assumption (rowgroups_total == files_total), which the DuckDB SQL
+    mirror silently relies on."""
+    from table_recognition_spark.operators.layout import layout_prune_stats
+
+    r = layout_prune_stats(spark, SF).first()
+    assert r.rowgroups_total == r.files_total, r
+    assert r.files_total == 8, r
+    assert r.rowgroups_matching * 2 <= r.rowgroups_total, r
+    assert 0 < r.rows_selected < r.rows_total, r
+
+
+@pytest.mark.spark
 def test_partitionby_write_prunes_directories(spark, tmp_path):
     """Hive-style partitioned write: a lang filter must become a
     PartitionFilter (metadata-only directory pruning — zero data files
