@@ -1323,22 +1323,83 @@ def dedup_substring_spans_sql(w: int = SUBSTR_W) -> str:
 # Scale: assignment is a scan-side map against broadcast centroids; the
 # greedy is applyInPandas per cluster — the sequential unit is one
 # cluster, exactly the unit the paper bounds by choosing k ∝ corpus/
-# target-cluster-size. A mega-cluster (skewed embedding space) is the
-# documented seam: raise SEM_CLUSTERS, or sub-split on a second k-means
-# level; the int64 order key holds to ~10^5-row clusters (n²·|x|² <
-# 2^63 at this quantization), beyond which the key needs object ints.
+# target-cluster-size. Both halves of that bound are implemented:
+# k = n_coarse_clusters(count) grows with the corpus (floor 16, so the
+# fixture-scale expected parquet is unchanged), and a mega-cluster that
+# the coarse quantizer fails to break up (skewed embedding space) is
+# sub-split INSIDE the pandas group by a deterministic second-level
+# k-means (lowest-vec_id init, 5 Lloyd iterations) before the greedy
+# runs — per-task greedy work is bounded by SEM_MAX_GREEDY rows no
+# matter how skewed the space. The int64 order key is exact to ~10^5
+# rows per greedy unit (n²·|x|² < 2^63 at this quantization);
+# SEM_MAX_GREEDY = 16384 keeps a 6× margin under that AND caps the
+# O(n²) unit at ~2.7·10^8 integer dots. Items split apart by the
+# second level are never compared — the same approximation the paper's
+# first-level clustering already makes.
 
 _SEM_T = (400, 361)  # cosine ≥ 0.95, same rational rule as _COS_T
+SEM_MAX_GREEDY = 16384
 
 
-def dedup_semantic(spark, sf_dir):
+def _sem_split_units(
+    X: np.ndarray, ids: np.ndarray, max_rows: int
+) -> list[np.ndarray]:
+    """Bound the greedy unit: split an oversized coarse cluster into
+    index groups of ≤ max_rows via a deterministic second-level k-means
+    (k₂ = ⌈2n/max_rows⌉ centroids initialized from the lowest-vec_id
+    members, 5 Lloyd iterations in float64, argmin ties to lowest
+    index — the same spec as the coarse quantizer). A sub-cluster
+    Lloyd's still leaves over the cap is chunked in vec_id order (the
+    deterministic last resort for pathologically concentrated spaces).
+    Identical vectors always share a sub-cluster (identical distance
+    rows → identical argmin), so exact copies still dedup."""
+    n = len(ids)
+    if n <= max_rows:
+        return [np.arange(n)]
+    k2 = min(n, -(-2 * n // max_rows))
+    order = np.argsort(ids)
+    cent = X[order[:k2]].astype(np.float64)
+    Xf = X.astype(np.float64)
+    for _ in range(5):
+        d2 = (
+            (Xf * Xf).sum(axis=1)[:, None]
+            - 2.0 * (Xf @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        for c in range(k2):
+            members = Xf[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    units: list[np.ndarray] = []
+    for c in range(k2):
+        m = np.nonzero(assign == c)[0]
+        if len(m) == 0:
+            continue
+        if len(m) <= max_rows:
+            units.append(m)
+        else:
+            mo = m[np.argsort(ids[m])]
+            units.extend(
+                mo[s:s + max_rows] for s in range(0, len(mo), max_rows)
+            )
+    return units
+
+
+def dedup_semantic(spark, sf_dir, max_greedy: int = SEM_MAX_GREEDY):
     """SemDeDup over the planted embedding corpus: (vec_id, cluster,
-    kept, kept_by) for every vector; kept_by = the kept member that
-    evicted a dropped one (null for keepers). Non-SQL-expressible
-    (iterative k-means + sequential greedy) → expected-parquet oracle."""
-    from .similarity import _ivf_train_centroids
+    kept, kept_by, n_clusters) for every vector; kept_by = the kept
+    member that evicted a dropped one (null for keepers); n_clusters
+    records the corpus-derived coarse-quantizer k (the determinism
+    contract: k comes from an exact count, and the output says which k
+    produced it). Non-SQL-expressible (iterative k-means + sequential
+    greedy) → expected-parquet oracle."""
+    from .similarity import (
+        _ivf_train_centroids, n_coarse_clusters, quantizer_sample_cap,
+    )
 
     q = _emb_quantized(spark, sf_dir).cache()
+    k = n_coarse_clusters(q.count())
     roll = (
         F.conv(
             F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
@@ -1349,12 +1410,14 @@ def dedup_semantic(spark, sf_dir):
         q.filter(roll < 50)
         .select("vec_id", "qv")
         .orderBy("vec_id")
-        .limit(4096)  # bounded driver materialization at any corpus size
+        # bounded driver materialization at any corpus size, scaled to
+        # the centroid count (similarity.quantizer_sample_cap)
+        .limit(quantizer_sample_cap(k))
         .toPandas()
     )
     order = np.argsort(sample["vec_id"].to_numpy())
     cent = _ivf_train_centroids(
-        np.stack(sample["qv"].to_numpy()[order]).astype(np.int64)
+        np.stack(sample["qv"].to_numpy()[order]).astype(np.int64), k
     )
     bc = spark.sparkContext.broadcast(cent)
 
@@ -1375,11 +1438,11 @@ def dedup_semantic(spark, sf_dir):
 
     t_num, t_den = _SEM_T
 
-    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-        X = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
-        ids = pdf["vec_id"].to_numpy()
-        n2 = pdf["norm2"].to_numpy().astype(np.int64)
-        n = len(pdf)
+    def _greedy_unit(X, ids, n2):
+        """Greedy keep/drop over one bounded unit (≤ max_greedy rows):
+        farthest-from-member-mean-first scan, integer-exact order key
+        and cosine rule. Returns (kept bool, kept_by int64 with -1)."""
+        n = len(ids)
         S = X.sum(axis=0)
         # integer-exact distance² to the member mean, scaled by n²
         d2n = n * n * n2 - 2 * n * (X @ S) + int(S @ S)
@@ -1400,13 +1463,26 @@ def dedup_semantic(spark, sf_dir):
                     continue
             kept_rows.append(i)
             kept[i] = True
+        return kept, kept_by
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+        ids = pdf["vec_id"].to_numpy()
+        n2 = pdf["norm2"].to_numpy().astype(np.int64)
+        kept = np.zeros(len(ids), dtype=bool)
+        kept_by = np.full(len(ids), -1, dtype=np.int64)
+        for m in _sem_split_units(X, ids, max_greedy):
+            km, kb = _greedy_unit(X[m], ids[m], n2[m])
+            kept[m] = km
+            kept_by[m] = kb
         return pd.DataFrame(
             {
                 "vec_id": ids,
                 "cluster": pdf["cluster"].to_numpy(),
                 "kept": kept,
-                "kept_by": [None if k else int(b)
-                            for k, b in zip(kept, kept_by)],
+                "kept_by": [None if kk else int(b)
+                            for kk, b in zip(kept, kept_by)],
+                "n_clusters": np.full(len(ids), k, dtype=np.int32),
             }
         )
 
@@ -1414,7 +1490,8 @@ def dedup_semantic(spark, sf_dir):
         assigned.groupBy("cluster")
         .applyInPandas(
             _greedy,
-            "vec_id long, cluster int, kept boolean, kept_by long",
+            "vec_id long, cluster int, kept boolean, kept_by long, "
+            "n_clusters int",
         )
         .orderBy("vec_id")
     )

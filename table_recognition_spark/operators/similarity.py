@@ -439,16 +439,44 @@ ORACLES = {
 # vectors, empty clusters keep their previous centroid, and every argmin
 # tie resolves to the lowest index.
 
-IVF_CLUSTERS = 16
+IVF_CLUSTERS = 16  # floor; see n_coarse_clusters
 IVF_PROBE = 6  # 6/16 clusters probed -> 0.68 top-10 recall on the fixture (vs 0.54 at 4, 0.80 at 8); random unit vectors are the adversarial case for a coarse quantizer
 IVF_ITERS = 5
 IVF_SAMPLE_PCT = 50
+# SemDeDup/IVF both bound their per-cluster work by n/k, which only
+# holds if k grows with the corpus: k = max(floor, n // target). At the
+# fixture scales (500-2000 vectors) this stays at the floor of 16, so
+# the committed expected-parquet oracles are unchanged; at 10^9 vectors
+# it yields k = 10^6, keeping the probe candidate set and the SemDeDup
+# greedy unit at ~10^3 rows.
+IVF_TARGET_CLUSTER = 1000
 
 
-def _ivf_train_centroids(sample_qv: np.ndarray) -> np.ndarray:
+def n_coarse_clusters(n_vectors: int, target: int = IVF_TARGET_CLUSTER,
+                      floor: int = IVF_CLUSTERS) -> int:
+    """Coarse-quantizer cluster count ∝ corpus size (deterministic:
+    derived from an exact count)."""
+    return max(floor, int(n_vectors) // target)
+
+
+def quantizer_sample_cap(k: int) -> int:
+    """Bounded driver materialization for quantizer training: ≥ 8
+    samples per centroid, capped at 64 Ki rows (O(cap·d) driver
+    memory). Past that cap (k > 8192, i.e. corpora beyond ~8 M vectors
+    per this sizing) the sample-based trainer under-seeds the
+    quantizer; the production path there is distributed k-means
+    (pyspark.ml.clustering.KMeans) feeding the same broadcast-centroid
+    assignment — the assignment/probe plan shape is unchanged, only
+    the trainer moves off the driver."""
+    return min(max(4096, 8 * k), 65536)
+
+
+def _ivf_train_centroids(
+    sample_qv: np.ndarray, k: int = IVF_CLUSTERS
+) -> np.ndarray:
     """Seeded deterministic Lloyd's; sample_qv (s, d) int64 sorted by
     vec_id; returns (k, d) float64 centroids."""
-    k = min(IVF_CLUSTERS, len(sample_qv))
+    k = min(k, len(sample_qv))
     x = sample_qv.astype(np.float64)
     cent = x[:k].copy()
     for _ in range(IVF_ITERS):
@@ -473,6 +501,7 @@ def sim_ivf_topk(spark, sf_dir):
     from pyspark.sql import SparkSession
 
     q = _quantized(load(spark, sf_dir, "embeddings")).cache()
+    k = n_coarse_clusters(q.count())
     roll = (
         F.conv(
             F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
@@ -483,12 +512,14 @@ def sim_ivf_topk(spark, sf_dir):
         q.filter(roll < IVF_SAMPLE_PCT)
         .select("vec_id", "qv")
         .orderBy("vec_id")
-        .limit(4096)  # bounded driver materialization at any corpus size
+        # bounded driver materialization at any corpus size, scaled to
+        # the centroid count (see quantizer_sample_cap)
+        .limit(quantizer_sample_cap(k))
         .toPandas()
     )
     order = np.argsort(sample["vec_id"].to_numpy())
     cent = _ivf_train_centroids(
-        np.stack(sample["qv"].to_numpy()[order]).astype(np.int64)
+        np.stack(sample["qv"].to_numpy()[order]).astype(np.int64), k
     )
     bc = spark.sparkContext.broadcast(cent)
 
