@@ -126,7 +126,12 @@ def rolling_fingerprint_sql(window: int = 8) -> str:
 
 WINNOW_K = 5  # k-gram size (tokens)
 WINNOW_W = 4  # winnowing window; guarantee threshold t = w + k - 1
-POS_BASE = 100_000  # encode (hash, pos) as hash*POS_BASE + pos; pos < 1e5
+# encode (hash, pos) as hash*POS_BASE + pos. Headroom proof: hash is 32
+# bits (first 8 md5 hex digits), so enc_max = (2^32-1)*1e9 + pos ≈
+# 4.3e18 < 2^63 ≈ 9.2e18 while pos < 1e9 — a position bound of a
+# BILLION tokens per document (a >4 GB text row, impossible long before
+# the encoding breaks). tests/test_ops_round5.py pins the arithmetic.
+POS_BASE = 1_000_000_000
 
 
 def _winnow_selected(docs, k: int, w: int):
@@ -1283,9 +1288,12 @@ def lm_surprisal(spark, sf_dir):
         "n_bigrams",
         "total_surprisal_bits",
         "sum_inv_p",
-        F.round(
-            F.col("total_surprisal_bits") * 1.0 / F.col("n_bigrams"), 6
-        ).alias("avg_bits"),
+        # integer micro-bits: the one former float in this column set
+        # (round-to-6 double division) could flake on rare rounding-tie
+        # representations across engines; integer div cannot
+        F.expr("total_surprisal_bits * 1000000 div n_bigrams").alias(
+            "avg_microbits"
+        ),
         (
             F.col("total_surprisal_bits") * 1000
             > F.lit(LM_FLAG_MILLIBITS) * F.col("n_bigrams")
@@ -1331,7 +1339,7 @@ def lm_surprisal_sql() -> str:
       FROM scored GROUP BY doc_id
     )
     SELECT doc_id, n_bigrams, total_surprisal_bits, sum_inv_p,
-           round(total_surprisal_bits * 1.0 / n_bigrams, 6) AS avg_bits,
+           total_surprisal_bits * 1000000 // n_bigrams AS avg_microbits,
            total_surprisal_bits * 1000 > {LM_FLAG_MILLIBITS} * n_bigrams
              AS high_perplexity
     FROM agg

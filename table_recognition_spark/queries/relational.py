@@ -983,7 +983,11 @@ def funnel_steps(spark, sf_dir, deadline_days: int = 7):
     )
 
 
-FUNNEL_SQL = """
+def funnel_sql(deadline_days: int = 7) -> str:
+    """Oracle builder parameterized identically to funnel_steps — a
+    non-default call site regenerates a matching oracle instead of
+    silently diverging from the registered default."""
+    return f"""
 WITH v AS (
   SELECT user_id, min(ts) AS t1 FROM events
   WHERE event_type = 'view' GROUP BY user_id
@@ -998,7 +1002,7 @@ p AS (
   SELECT e.user_id, min(e.ts) AS t3
   FROM events e JOIN c USING (user_id)
   WHERE e.event_type = 'purchase' AND e.ts > c.t2
-    AND e.ts <= c.t1 + INTERVAL 7 DAY
+    AND e.ts <= c.t1 + INTERVAL {deadline_days} DAY
   GROUP BY e.user_id
 )
 SELECT * FROM (
@@ -1009,6 +1013,9 @@ SELECT * FROM (
   SELECT '3_purchase', count(*) FROM p
 ) ORDER BY step
 """
+
+
+FUNNEL_SQL = funnel_sql()
 
 
 def q12_priority_by_class(spark, sf_dir):
@@ -1177,13 +1184,15 @@ def q17_small_qty_revenue(spark, sf_dir, brand: str = "Brand#13"):
     )
 
 
-Q17_SQL = f"""
+def q17_sql(brand: str = "Brand#13") -> str:
+    """Oracle builder sharing q17_small_qty_revenue's parameter."""
+    return f"""
 WITH li AS (
   SELECT l_partkey,
          {cents_sql('l_quantity')} AS qty_c,
          {cents_sql('l_extendedprice')} AS price_c
   FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE p_brand = 'Brand#13'
+  WHERE p_brand = '{brand}'
 ), s AS (
   SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS sum_q,
          count(*) AS n_li
@@ -1194,6 +1203,9 @@ SELECT CAST(COALESCE(sum(price_c), 0) AS BIGINT) AS revenue_c,
 FROM li JOIN s USING (l_partkey)
 WHERE qty_c * 5 * n_li < sum_q
 """
+
+
+Q17_SQL = q17_sql()
 
 
 def q19_disjunctive_revenue(spark, sf_dir):
@@ -1431,7 +1443,9 @@ def q8_market_share(spark, sf_dir, nation: str = "NATION_3"):
     )
 
 
-Q8_SQL = f"""
+def q8_sql(nation: str = "NATION_3") -> str:
+    """Oracle builder sharing q8_market_share's parameter."""
+    return f"""
 WITH j AS (
   SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
          n_name,
@@ -1444,13 +1458,16 @@ WITH j AS (
   WHERE p_type = 'STANDARD'
 )
 SELECT o_year,
-       CAST(sum(CASE WHEN n_name = 'NATION_3' THEN vol_c ELSE 0 END)
+       CAST(sum(CASE WHEN n_name = '{nation}' THEN vol_c ELSE 0 END)
             AS BIGINT) AS nation_c,
        CAST(sum(vol_c) AS BIGINT) AS total_c,
-       CAST(sum(CASE WHEN n_name = 'NATION_3' THEN vol_c ELSE 0 END) * 10000
+       CAST(sum(CASE WHEN n_name = '{nation}' THEN vol_c ELSE 0 END) * 10000
             // sum(vol_c) AS BIGINT) AS share_bp
 FROM j GROUP BY o_year ORDER BY o_year
 """
+
+
+Q8_SQL = q8_sql()
 
 
 def q9_product_type_profit(spark, sf_dir, name_like: str = "%small%"):
@@ -1488,7 +1505,9 @@ def q9_product_type_profit(spark, sf_dir, name_like: str = "%small%"):
     )
 
 
-Q9_SQL = f"""
+def q9_sql(name_like: str = "%small%") -> str:
+    """Oracle builder sharing q9_product_type_profit's parameter."""
+    return f"""
 SELECT n_name,
        CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
        CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)')}
@@ -1499,10 +1518,13 @@ JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN orders ON l_orderkey = o_orderkey
-WHERE p_name LIKE '%small%'
+WHERE p_name LIKE '{name_like}'
 GROUP BY n_name, o_year
 ORDER BY n_name, o_year DESC
 """
+
+
+Q9_SQL = q9_sql()
 
 
 def q11_important_stock(spark, sf_dir, permille: int = 1):
@@ -1534,7 +1556,9 @@ def q11_important_stock(spark, sf_dir, permille: int = 1):
     )
 
 
-Q11_SQL = f"""
+def q11_sql(permille: int = 1) -> str:
+    """Oracle builder sharing q11_important_stock's parameter."""
+    return f"""
 WITH per_part AS (
   SELECT l_partkey,
          CAST(sum({cents_sql('l_extendedprice')}) AS BIGINT) AS value_c
@@ -1544,9 +1568,12 @@ WITH per_part AS (
 )
 SELECT l_partkey, value_c
 FROM per_part
-WHERE value_c * 1000 > (SELECT sum(value_c) FROM per_part) * 1
+WHERE value_c * 1000 > (SELECT sum(value_c) FROM per_part) * {permille}
 ORDER BY value_c DESC, l_partkey
 """
+
+
+Q11_SQL = q11_sql()
 
 
 def q16_supplier_relationship_count(spark, sf_dir):
@@ -1637,11 +1664,13 @@ def q20_excess_share_suppliers(spark, sf_dir, name_like: str = "%small%"):
     )
 
 
-Q20_SQL = f"""
+def q20_sql(name_like: str = "%small%") -> str:
+    """Oracle builder sharing q20_excess_share_suppliers's parameter."""
+    return f"""
 WITH li AS (
   SELECT l_partkey, l_suppkey, {cents_sql('l_quantity')} AS q_c
   FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE p_name LIKE '%small%'
+  WHERE p_name LIKE '{name_like}'
     AND l_shipdate >= '2000-01-01' AND l_shipdate < '2001-01-01'
 ), pair AS (
   SELECT l_partkey, l_suppkey, CAST(sum(q_c) AS BIGINT) AS pair_q
@@ -1659,6 +1688,9 @@ WHERE s_nationkey < 13
   )
 ORDER BY s_suppkey
 """
+
+
+Q20_SQL = q20_sql()
 
 
 def rolling_active_users(spark, sf_dir, window_days: int = 7):
