@@ -957,12 +957,28 @@ def connected_components(pairs, src: str = "doc_a", dst: str = "doc_b",
     # materialize the pair set ONCE: it feeds the vertex set and every
     # round's translation join
     pairs = pairs.select(src, dst).localCheckpoint()
-    P = spark.sparkContext.defaultParallelism
+    # Seed contraction folded into the label-table build (round-6): the
+    # first loop round used to spend its full translate-contract-apply
+    # cycle discovering what a partition-local union-find over the raw
+    # pairs already knows. Contracting u-partitioned pairs BEFORE the
+    # loop seeds labels with each partition's component minima, so the
+    # common case (a component's pairs co-located by its min endpoint)
+    # converges in a single verify round; cross-partition components
+    # still reconcile in the loop as before.
+    seed = (
+        _local_cc_mapping(
+            pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .repartition("u")
+        )
+        .groupBy("label")
+        .agg(F.min("root").alias("root"))
+    )
     labels = (
         pairs.select(F.col(src).alias("doc_id"))
         .union(pairs.select(dst))
         .distinct()
-        .withColumn("group_id", F.col("doc_id"))
+        .join(seed, F.col("doc_id") == seed["label"], "left")
+        .select("doc_id", F.coalesce("root", "doc_id").alias("group_id"))
         .localCheckpoint()
     )
     for _round in range(max_rounds):
@@ -986,7 +1002,10 @@ def connected_components(pairs, src: str = "doc_a", dst: str = "doc_b",
                 F.greatest("ga", "gb").alias("v"),
             )
             .filter(F.col("u") != F.col("v"))
-            .repartition(P, "u")
+            # no explicit partition count: AQE right-sizes the exchange
+            # (coalesces the near-empty fixture rounds to one task,
+            # splits skewed u-keys at scale)
+            .repartition("u")
         )
         # a label seen in several partitions yields several mapping rows
         # — reconcile to the smallest root (the next round reconverges)
@@ -998,28 +1017,29 @@ def connected_components(pairs, src: str = "doc_a", dst: str = "doc_b",
         )
         if mapping.isEmpty():
             break
-        stepped = labels.join(
-            mapping, labels["group_id"] == mapping["label"], "left"
-        ).select(
-            "doc_id",
-            F.coalesce("root", "group_id").alias("group_id"),
+        # Pointer jumping on the SMALL side: reconciliation chains
+        # (5→4, 4→3, …) live entirely inside the mapping, so composing
+        # the mapping with itself (root ← root(root), one doubling per
+        # round — the same per-round power as a label-table jump)
+        # shortens them with a join bounded by the CHANGED-label count;
+        # the full label table never self-joins. AQE broadcasts these
+        # tiny joins at runtime.
+        j = mapping.select(
+            F.col("label").alias("jl"), F.col("root").alias("jr")
         )
-        # pointer jump: group ← group(group). group ids are themselves
-        # vertex ids, so the self-join always resolves; min() keeps the
-        # monotone-decrease invariant.
-        jump = stepped.select(
-            F.col("doc_id").alias("group_id"),
-            F.col("group_id").alias("g2"),
+        composed = mapping.join(j, mapping["root"] == j["jl"], "left").select(
+            "label",
+            F.least(F.col("root"), F.coalesce("jr", "root")).alias("root"),
         )
         labels = (
-            stepped.join(jump, "group_id", "left")
+            labels.join(
+                composed, labels["group_id"] == composed["label"], "left"
+            )
             .select(
                 "doc_id",
-                F.least(
-                    F.col("group_id"), F.coalesce("g2", "group_id")
-                ).alias("group_id"),
+                F.coalesce("root", "group_id").alias("group_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     else:  # pragma: no cover — progress is guaranteed each round
         raise RuntimeError(
