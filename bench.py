@@ -262,6 +262,8 @@ BENCH_QUERIES = [
     "media_video_frame_stats",
     "dataset_split_load",
     "gt_repair_rows",
+    "layout_prune_stats",
+    "stream_events_sessions",
     "extract_from_pagexml",
     # reference-default configurations perf-tracked alongside the knn/G2
     # flagship: visibility is the reference's configured default edge
@@ -855,7 +857,57 @@ def main() -> None:
     }
 
     result.update(scaling_extra)
+    # The driver captures only the LAST ~2000 chars of stdout and parses
+    # a JSON line out of that tail; the full self-diagnosing record
+    # (per-repeat raws, gate calibration traces) is tens of KB, so a
+    # tail-truncated print of it parses as nothing (round 5:
+    # BENCH_r05.json parsed=null). Emit three artifacts instead:
+    #   1. the full record to BENCH/full_latest.json (committed per
+    #      round as the durable diagnostic),
+    #   2. the full record as a mid-stdout line (survives in any log
+    #      that keeps whole stdout),
+    #   3. a compact summary as the FINAL line, sized well under the
+    #      tail window: headline + scaling gate + slowest queries +
+    #      pointer to the full artifact. 84 query names alone exceed
+    #      the tail budget, so the complete per-query dict physically
+    #      cannot ride the last line.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH",
+        "full_latest.json",
+    )
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as f:
+            json.dump(result, f)
+    except OSError as e:  # pragma: no cover — read-only checkout
+        full_path = f"(write failed: {e})"
     print(json.dumps(result))
+    slowest = dict(
+        sorted(per_query.items(), key=lambda kv: -kv[1])[:8]
+    )
+    summary = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_docs": n_docs,
+        "docs_per_sec": result["docs_per_sec"],
+        "cpus": cpus,
+        "n_queries": len(per_query),
+        "max_query_sec": max(per_query.values()) if per_query else None,
+        "queries": slowest,
+        "queries_full": full_path,
+    }
+    for k in (
+        "scaling_efficiency_4_to_16",
+        "scaling_efficiency_n_to_4n",
+        "scaling",
+        "scaling_samples",
+        "scaling_bench_docs",
+    ):
+        if k in result:
+            summary[k] = result[k]
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -165,23 +165,19 @@ def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(src, "e0.parquet"),
     )
-    name = "sessions_smoke_" + uuid.uuid4().hex[:8]
-    q = (
-        stream_sessions(spark, src)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
     max_ts = (
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         .agg(F.max("ts"))
         .first()[0]
     )
+
     # sentinel sessions (user_id = -1) stay open and never emit; the
-    # file source lists top-level FILES, so write plain parquet files
-    for i, days in enumerate((10, 20), start=1):
+    # file source lists top-level FILES, so write plain parquet files.
+    # Sentinel #1 rides IN the initial batch: the watermark advances at
+    # batch END, so after batch 1 it already stands at max_ts + 10 d and
+    # the single follow-up sentinel batch flushes every real session —
+    # two micro-batches total instead of three.
+    def _sentinel(days: int, path: str) -> None:
         tbl = pa.table(
             {
                 "event_id": pa.array([-1], pa.int64()),
@@ -195,9 +191,30 @@ def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "props": pa.array([""], pa.string()),
             }
         )
-        pq.write_table(tbl, os.path.join(src, f"e{i}.parquet"))
+        pq.write_table(tbl, path)
+
+    _sentinel(10, os.path.join(src, "e1.parquet"))
+    name = "sessions_smoke_" + uuid.uuid4().hex[:8]
+    # the fixture stream carries thousands of rows through a stateful
+    # exchange sized for batch analytics — 8 state partitions keep the
+    # two micro-batches from being pure task-scheduling overhead (a
+    # production deployment sizes this to its key cardinality instead)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_sessions(spark, src)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
         q.processAllAvailable()
-    q.stop()
+        _sentinel(20, os.path.join(src, "e2.parquet"))
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # (user_id, session_start) is a unique sort key: two sessions of
     # one user are by construction > gap apart
     return (
