@@ -160,6 +160,51 @@ def _extract_from_pagexml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_flat(interleaved_docs(spark, sf_dir), parsed, _weights())
 
 
+def _pipeline_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule resumability under the driver's hash gate: chunked
+    extraction (doc-hash partitioned, per-chunk lineage commits via
+    pipeline/checkpoint.py), a simulated crash after 2 of 4 chunks,
+    then a resume that must skip the committed chunks; the recombined
+    output is compared against the straight-run flagship's committed
+    expected parquet (the SAME oracle as extract_interleaved — resume
+    must be invisible in the result)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from table_recognition_spark.pipeline.checkpoint import (
+        CheckpointedExtract,
+    )
+    from table_recognition_spark.pipeline.flagship import (
+        fixture_media,
+        interleaved_docs,
+    )
+
+    docs = interleaved_docs(spark, sf_dir)
+    media = fixture_media(spark)
+    ck = CheckpointedExtract(
+        tempfile.mkdtemp(prefix="trs_ckpt_"), n_chunks=2
+    )
+    try:
+        ck.run(spark, docs, media, _weights(), fail_after=1)
+    except RuntimeError:
+        pass
+    assert len(ck.committed()) == 1, "crash must leave a partial run"
+    resumed = ck.run(spark, docs, media, _weights())
+    assert resumed == 1, "resume must run exactly the uncommitted chunk"
+    return (
+        ck.read_output(spark)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").cast("int").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
 _SPLIT_IDS = [i * 7 + 3 for i in range(20)]
 
 
@@ -286,6 +331,9 @@ EXPECTED_ORACLE_QUERIES = [
     "media_video_frame_stats",
     "sim_ivf_topk",
     "dedup_semantic",
+    # no own parquet: replays extract_interleaved's committed truth
+    # (resume must be invisible in the result)
+    "pipeline_checkpoint_resume",
 ]
 
 
@@ -342,9 +390,11 @@ DRIVER_WINDOW = [
     "sketch_cms_tokens",
     "sketch_bloom_membership",
     "sketch_hist_quantiles",
-    # scan-pruning layout + streaming sessionization (new round 6)
+    # scan-pruning layout + streaming sessionization + crash-resume
+    # (new round 6)
     "layout_prune_stats",
     "stream_events_sessions",
+    "pipeline_checkpoint_resume",
     # 8 relational representatives, one per plan shape (agg pipeline,
     # join+topk, sessionization, as-of, range join, rolling window,
     # funnel, json extraction); the other TPC-H flavors share these
@@ -357,7 +407,7 @@ DRIVER_WINDOW = [
     "rel_rolling_active_users",
     "rel_funnel_steps",
     "rel_events_json_props",
-    # 9 text representatives (lm_surprisal first: never driver-checked
+    # 8 text representatives (lm_surprisal first: never driver-checked
     # before round 6)
     "text_lm_surprisal",
     "text_lang_id",
@@ -367,7 +417,6 @@ DRIVER_WINDOW = [
     "text_doc_stats",
     "text_pii_scrub",
     "text_pack_sequences",
-    "text_length_quantiles",
 ]
 
 
@@ -386,6 +435,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(sketch.QUERIES)
     q.update(layout.QUERIES)
     q["stream_events_sessions"] = ingest.stream_events_sessions
+    q["pipeline_checkpoint_resume"] = _pipeline_checkpoint_resume
     # non-SQL-expressible (GNN kernel / binary decode) → oracled via the
     # committed-expected-parquet pattern (EXPECTED_ORACLE_QUERIES above)
     q["extract_interleaved"] = _extract_interleaved
@@ -431,4 +481,9 @@ def oracle_sql() -> dict[str, str]:
         sql = _expected_sql(name)
         if sql is not None:
             o[name] = sql
+    # crash-resume shares the straight-run flagship's committed truth:
+    # a resume that changes ANY span hashes differently
+    resume_sql = _expected_sql("extract_interleaved")
+    if resume_sql is not None:
+        o["pipeline_checkpoint_resume"] = resume_sql
     return o

@@ -110,11 +110,15 @@ class CheckpointedExtract:
             out = extract(part, media_df, weights, **extract_kwargs)
             chunk_dir = os.path.join(self.data_dir, f"chunk={chunk}")
             out.write.mode("overwrite").parquet(chunk_dir)
-            written = spark.read.parquet(chunk_dir)
-            n_docs = written.count()
-            n_spans = written.select(
-                F.sum(F.size("spans")).alias("n")
-            ).collect()[0]["n"]
+            row = (
+                spark.read.parquet(chunk_dir)
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum(F.size("spans")).alias("n_spans"),
+                )
+                .collect()[0]
+            )
+            n_docs, n_spans = row["n_docs"], row["n_spans"]
             secs = time.time() - t0
             lineage = (
                 f"inputs={inputs};weights=md5:{w_fp};"
