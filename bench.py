@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "gt_repair_rows",
     "layout_prune_stats",
     "stream_events_sessions",
+    "pipeline_checkpoint_resume",
     "extract_from_pagexml",
     # reference-default configurations perf-tracked alongside the knn/G2
     # flagship: visibility is the reference's configured default edge
