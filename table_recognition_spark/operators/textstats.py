@@ -1094,56 +1094,89 @@ def lang_id_ngram(spark, sf_dir, k: int = LANGID_K):
     score asc, lang asc) and every score is an integer, so the DuckDB
     oracle matches exactly.
 
-    Scale shape: the corpus is scanned and exploded ONCE into per-doc
-    trigram counts (shuffled by doc — scales with the corpus); the
-    language profile is then a second aggregation over that already
-    doc-reduced output, keyed by (lang, trigram) whose cardinality is
-    bounded by the trigram alphabet, not the corpus. The profiles
-    (langs × k rows) and the language list are broadcast, so scoring
-    never shuffles anything but doc-keyed rows."""
-    docs = load(spark, sf_dir, "documents")
-    norm = norm_text(F.col("text"))
-    base = docs.select("doc_id", "lang", norm.alias("norm"))
-    n = F.length(F.col("norm"))
-    tris = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.substring(F.col("norm"), i, F.lit(3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    doc_tg = (
-        base.select("doc_id", "lang", F.explode(tris).alias("tg"))
-        .groupBy("doc_id", "lang", "tg")
-        .agg(F.count("*").alias("cnt"))
-    )
-
+    Scale shape (round-6 rewrite — formerly a corpus-wide trigram
+    explode shuffled by doc, the suite's priciest text query): two
+    MAP-ONLY Arrow passes over the corpus. Pass 1 emits batch-partial
+    (lang, trigram) counts from inside the pandas kernel, so the only
+    corpus-wide exchange is an aggregation whose key cardinality is
+    bounded by langs × trigram alphabet, not the corpus. Pass 2 emits
+    each document's top-k profile directly (k rows per doc, true lang
+    carried along — no join back), map-only. Scoring joins the
+    broadcast profiles and reduces by doc; the per-doc argmin is a
+    lexicographic struct-min aggregation, not a window sort. The
+    normalized text is computed JVM-side (same expression both
+    engines); the Python kernel only counts substrings of it."""
+    import pandas as pd
     from pyspark.sql import Window
 
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", norm_text(F.col("text")).alias("norm")
+    )
+
+    def lang_partials(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for lang, s in zip(pdf["lang"], pdf["norm"]):
+                for i in range(len(s) - 2):
+                    c[(lang, s[i:i + 3])] += 1
+            if not c:
+                continue
+            items = list(c.items())
+            yield pd.DataFrame(
+                {
+                    "lang": [a for (a, _), _n in items],
+                    "tg": [b for (_, b), _n in items],
+                    "cnt": [n for _k, n in items],
+                }
+            )
+
+    lang_rows = base.select("lang", "norm").mapInPandas(
+        lang_partials, "lang string, tg string, cnt long"
+    )
     lang_w = Window.partitionBy("lang").orderBy(
         F.desc("cnt"), F.asc("tg")
     )
     lang_prof = (
-        doc_tg.groupBy("lang", "tg")
+        lang_rows.groupBy("lang", "tg")
         .agg(F.sum("cnt").alias("cnt"))
         .withColumn("lrank", F.row_number().over(lang_w))
         .filter(F.col("lrank") <= k)
         .select("lang", "tg", "lrank")
     )
-    doc_w = Window.partitionBy("doc_id").orderBy(
-        F.desc("cnt"), F.asc("tg")
-    )
-    doc_prof = (
-        doc_tg.withColumn("drank", F.row_number().over(doc_w))
-        .filter(F.col("drank") <= k)
-        .select("doc_id", "tg", "drank")
+
+    def doc_topk(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            out: dict = {"doc_id": [], "true_lang": [], "tg": [],
+                         "drank": []}
+            for doc_id, lang, s in zip(
+                pdf["doc_id"], pdf["lang"], pdf["norm"]
+            ):
+                c = Counter(s[i:i + 3] for i in range(len(s) - 2))
+                # (count desc, trigram asc) — ASCII corpus, so Python's
+                # string order == Spark/DuckDB binary string order
+                top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+                for r, (tg, _) in enumerate(top, start=1):
+                    out["doc_id"].append(int(doc_id))
+                    out["true_lang"].append(lang)
+                    out["tg"].append(tg)
+                    out["drank"].append(r)
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    doc_prof = base.mapInPandas(
+        doc_topk, "doc_id long, true_lang string, tg string, drank int"
     )
 
     langs = docs.select("lang").distinct()
     scored = (
         doc_prof.crossJoin(F.broadcast(langs))
         .join(F.broadcast(lang_prof), ["lang", "tg"], "left")
-        .groupBy("doc_id", "lang")
+        .groupBy("doc_id", "true_lang", "lang")
         .agg(
             F.sum(
                 F.coalesce(
@@ -1153,19 +1186,15 @@ def lang_id_ngram(spark, sf_dir, k: int = LANGID_K):
             ).alias("score")
         )
     )
-    pred_w = Window.partitionBy("doc_id").orderBy(
-        F.asc("score"), F.asc("lang")
-    )
+    # argmin via lexicographic struct-min: min(score, lang) == the old
+    # row_number-over-(score asc, lang asc) winner, without a window sort
     pred = (
-        scored.withColumn("rn", F.row_number().over(pred_w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"))
+        scored.groupBy("doc_id", "true_lang")
+        .agg(F.min(F.struct("score", "lang")).alias("m"))
+        .select("true_lang", F.col("m.lang").alias("pred_lang"))
     )
-    return (
-        docs.select("doc_id", F.col("lang").alias("true_lang"))
-        .join(pred, "doc_id")
-        .groupBy("true_lang", "pred_lang")
-        .agg(F.count("*").alias("n_docs"))
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
     )
 
 
