@@ -160,6 +160,48 @@ def _extract_from_pagexml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_flat(interleaved_docs(spark, sf_dir), parsed, _weights())
 
 
+def _extract_from_pagexml_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship extraction with the media table ingested from a
+    directory of PAGE-XML FILES via the ``pagexml`` Python DataSource
+    (sources/pagexml_datasource.py) — the reference's actual on-disk
+    input layout (graph.py:47-59), listed/partitioned/parsed as a
+    first-class Spark source. Output must equal the straight-run
+    flagship (same expected-parquet oracle as extract_interleaved)."""
+    import tempfile
+
+    from table_recognition_spark.pipeline.extract import extract_flat
+    from table_recognition_spark.pipeline.flagship import (
+        fixture_media,
+        interleaved_docs,
+    )
+    from table_recognition_spark.sources.pagexml import ocr_lines_to_page_xml
+    from table_recognition_spark.sources.pagexml_datasource import (
+        register_pagexml_source,
+    )
+
+    d = tempfile.mkdtemp(prefix="trs_pagexml_")
+    rows = (
+        fixture_media(spark)
+        .select("media_ref", "width", "height", "ocr_lines")
+        .collect()  # 24 fixture files — driver-side corpus materialization
+    )
+    for r in rows:
+        xml = ocr_lines_to_page_xml(
+            [ln.asDict(recursive=True) for ln in r.ocr_lines],
+            r.width,
+            r.height,
+        )
+        with open(os.path.join(d, f"{r.media_ref}.xml"), "w") as fh:
+            fh.write(xml)
+    register_pagexml_source(spark)
+    parsed = (
+        spark.read.format("pagexml")
+        .option("numPartitions", "4")
+        .load(d)
+    )
+    return extract_flat(interleaved_docs(spark, sf_dir), parsed, _weights())
+
+
 def _pipeline_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule resumability under the driver's hash gate: chunked
     extraction (doc-hash partitioned, per-chunk lineage commits via
@@ -331,9 +373,10 @@ EXPECTED_ORACLE_QUERIES = [
     "media_video_frame_stats",
     "sim_ivf_topk",
     "dedup_semantic",
-    # no own parquet: replays extract_interleaved's committed truth
-    # (resume must be invisible in the result)
+    # no own parquet: these replay extract_interleaved's committed truth
+    # (resume / file-ingestion must be invisible in the result)
     "pipeline_checkpoint_resume",
+    "extract_from_pagexml_files",
 ]
 
 
@@ -436,6 +479,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(layout.QUERIES)
     q["stream_events_sessions"] = ingest.stream_events_sessions
     q["pipeline_checkpoint_resume"] = _pipeline_checkpoint_resume
+    q["extract_from_pagexml_files"] = _extract_from_pagexml_files
     # non-SQL-expressible (GNN kernel / binary decode) → oracled via the
     # committed-expected-parquet pattern (EXPECTED_ORACLE_QUERIES above)
     q["extract_interleaved"] = _extract_interleaved
@@ -486,4 +530,5 @@ def oracle_sql() -> dict[str, str]:
     resume_sql = _expected_sql("extract_interleaved")
     if resume_sql is not None:
         o["pipeline_checkpoint_resume"] = resume_sql
+        o["extract_from_pagexml_files"] = resume_sql
     return o

@@ -95,12 +95,21 @@ def parse_ctdar_xml(xml_string: str) -> list:
 
 
 # --------------------------------------------- plain-python serializers
-def ocr_lines_to_page_xml(ocr_lines) -> str:
+def ocr_lines_to_page_xml(ocr_lines, width: int | None = None,
+                          height: int | None = None) -> str:
     """Fixture-side serializer: ocr_lines rows → a PAGE-XML document the
-    parser above round-trips exactly."""
+    parser above round-trips exactly. ``width``/``height`` (optional)
+    are written as the standard ``Page`` ``imageWidth``/``imageHeight``
+    attributes — the file-level metadata the ``pagexml`` DataSource
+    surfaces."""
     ElementTree.register_namespace("", PAGE_NS)
     root = ElementTree.Element(f"{{{PAGE_NS}}}PcGts")
-    page = ElementTree.SubElement(root, f"{{{PAGE_NS}}}Page")
+    page_attrs = {}
+    if width is not None:
+        page_attrs["imageWidth"] = str(int(width))
+    if height is not None:
+        page_attrs["imageHeight"] = str(int(height))
+    page = ElementTree.SubElement(root, f"{{{PAGE_NS}}}Page", page_attrs)
     region = ElementTree.SubElement(page, f"{{{PAGE_NS}}}TextRegion")
     for line in ocr_lines:
         tl = ElementTree.SubElement(region, f"{{{PAGE_NS}}}TextLine")
