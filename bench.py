@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "stream_events_sessions",
     "pipeline_checkpoint_resume",
     "extract_from_pagexml",
+    "extract_from_pagexml_files",
     # reference-default configurations perf-tracked alongside the knn/G2
     # flagship: visibility is the reference's configured default edge
     # discovery (config.ini:9), the visual model its default
