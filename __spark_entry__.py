@@ -373,6 +373,10 @@ EXPECTED_ORACLE_QUERIES = [
     "media_video_frame_stats",
     "sim_ivf_topk",
     "dedup_semantic",
+    # iterative (data-dependent per-round argmax): determinism-pinned,
+    # independently anchored by the pure-Python mirror in tests/test_bpe.py
+    "text_bpe_merges",
+    "text_bpe_token_counts",
     # no own parquet: these replay extract_interleaved's committed truth
     # (resume / file-ingestion must be invisible in the result)
     "pipeline_checkpoint_resume",
@@ -451,13 +455,15 @@ DRIVER_WINDOW = [
     "rel_funnel_steps",
     "rel_events_json_props",
     # 8 text representatives (lm_surprisal first: never driver-checked
-    # before round 6)
+    # before round 6; bpe_merges is the round-6 iterative-learner
+    # addition — doc_stats rotates out, its agg shape is covered by
+    # quality_classifier and the pytest mirror still runs it)
     "text_lm_surprisal",
     "text_lang_id",
     "text_quality_classifier",
     "text_winnow_fingerprints",
     "text_bm25_topk",
-    "text_doc_stats",
+    "text_bpe_merges",
     "text_pii_scrub",
     "text_pack_sequences",
 ]
@@ -465,7 +471,7 @@ DRIVER_WINDOW = [
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from table_recognition_spark.operators import (
-        dedup, layout, similarity, sketch, textstats,
+        bpe, dedup, layout, similarity, sketch, textstats,
     )
     from table_recognition_spark.queries import relational
     from table_recognition_spark.streaming import ingest
@@ -473,6 +479,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
     q.update(textstats.QUERIES)
+    q.update(bpe.QUERIES)
     q.update(dedup.QUERIES)
     q.update(similarity.QUERIES)
     q.update(sketch.QUERIES)

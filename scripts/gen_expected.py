@@ -47,6 +47,8 @@ EXPECTED_QUERIES = [
     "media_video_frame_stats",
     "sim_ivf_topk",
     "dedup_semantic",
+    "text_bpe_merges",
+    "text_bpe_token_counts",
 ]
 
 
