@@ -413,8 +413,13 @@ DRIVER_WINDOW = [
     "media_patch_embeddings",
     "media_audio_stats",
     "media_video_frame_stats",
-    # dedup (all 10)
-    "dedup_exact",
+    # the end-to-end curation composition (quality → exact-dedup →
+    # decontamination cascade with per-source accounting); its dedup
+    # stage carries dedup_exact's exact-dedup semantics, so that
+    # standalone query rotates out of the window (pytest mirror still
+    # runs it)
+    "pipeline_pretraining_corpus",
+    # dedup (9 of 10 standalone)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_jaccard_ngram",
@@ -437,18 +442,21 @@ DRIVER_WINDOW = [
     "sketch_cms_tokens",
     "sketch_bloom_membership",
     "sketch_hist_quantiles",
-    # scan-pruning layout + streaming sessionization + crash-resume
+    # scan-pruning layout + streaming (sessionization + the
+    # stream-stream range join's two-micro-batch drive) + crash-resume
     # (new round 6)
     "layout_prune_stats",
     "stream_events_sessions",
+    "stream_attribution_join",
     "pipeline_checkpoint_resume",
-    # 8 relational representatives, one per plan shape (agg pipeline,
-    # join+topk, sessionization, as-of, range join, rolling window,
-    # funnel, json extraction); the other TPC-H flavors share these
-    # shapes and stay under the pytest mirror
+    # 7 relational representatives, one per plan shape (agg pipeline,
+    # join+topk, as-of, range join, rolling window, funnel, json
+    # extraction); batch sessionization (rel_events_sessions) rotated
+    # out for the streaming join — its lag/cumsum shape is the oracle
+    # SIDE of stream_events_sessions and the pytest mirror still runs
+    # it; the other TPC-H flavors share these shapes likewise
     "rel_q1_pricing_summary",
     "rel_q3_shipping_priority",
-    "rel_events_sessions",
     "rel_asof_last_event",
     "rel_range_join_attribution",
     "rel_rolling_active_users",
@@ -471,7 +479,7 @@ DRIVER_WINDOW = [
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from table_recognition_spark.operators import (
-        bpe, dedup, layout, similarity, sketch, textstats,
+        bpe, corpus_pipeline, dedup, layout, similarity, sketch, textstats,
     )
     from table_recognition_spark.queries import relational
     from table_recognition_spark.streaming import ingest
@@ -480,11 +488,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(relational.QUERIES)
     q.update(textstats.QUERIES)
     q.update(bpe.QUERIES)
+    q.update(corpus_pipeline.QUERIES)
     q.update(dedup.QUERIES)
     q.update(similarity.QUERIES)
     q.update(sketch.QUERIES)
     q.update(layout.QUERIES)
-    q["stream_events_sessions"] = ingest.stream_events_sessions
+    q.update(ingest.QUERIES)
     q["pipeline_checkpoint_resume"] = _pipeline_checkpoint_resume
     q["extract_from_pagexml_files"] = _extract_from_pagexml_files
     # non-SQL-expressible (GNN kernel / binary decode) → oracled via the
@@ -513,7 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from table_recognition_spark.operators import (
-        dedup, layout, similarity, sketch, textstats,
+        corpus_pipeline, dedup, layout, similarity, sketch, textstats,
     )
     from table_recognition_spark.queries import relational
     from table_recognition_spark.streaming import ingest
@@ -521,11 +530,12 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o.update(relational.ORACLES)
     o.update(textstats.ORACLES)
+    o.update(corpus_pipeline.ORACLES)
     o.update(dedup.ORACLES)
     o.update(similarity.ORACLES)
     o.update(sketch.ORACLES)
     o.update(layout.ORACLES)
-    o["stream_events_sessions"] = ingest.STREAM_SESSIONS_SQL
+    o.update(ingest.ORACLES)
     o["dataset_split_load"] = DATASET_SPLIT_SQL
     o["gt_repair_rows"] = _gt_repair_sql()
     for name in EXPECTED_ORACLE_QUERIES:

@@ -133,6 +133,32 @@ def hll_distinct_tokens_sql() -> str:
     """
 
 
+def finalize_daily_registers(regs, events):
+    """(day, reg, rho) register maxes + the raw events table → the
+    sketch output (day, s_inv, zero_regs, est_milli, exact_distinct).
+    Shared by the batch sketch and the streaming register drive
+    (streaming/ingest.py): registers are max-mergeable, so however
+    they were accumulated — one shuffle or many micro-batches — the
+    finalize step is identical and the outputs bit-equal."""
+    est_num = ALPHA_MILLI * M_REGISTERS * M_REGISTERS * (1 << (RHO_BITS + 1))
+    sketch = (
+        regs.groupBy("day")
+        .agg(
+            (
+                F.sum(F.expr(f"shiftleft(1L, {RHO_BITS + 1} - rho)"))
+                + (M_REGISTERS - F.count("*")) * (1 << (RHO_BITS + 1))
+            ).alias("s_inv"),
+            (M_REGISTERS - F.count("*")).cast("long").alias("zero_regs"),
+        )
+        .select("day", "s_inv", "zero_regs",
+                F.expr(f"{est_num}L div s_inv").alias("est_milli"))
+    )
+    exact = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return sketch.join(exact, "day").orderBy("day")
+
+
 def hll_users_daily(spark, sf_dir):
     """Per-key sketch — the production HLL shape: daily distinct-user
     estimates over the events stream, one register set per day. The
@@ -153,25 +179,7 @@ def hll_users_daily(spark, sf_dir):
     regs = hashed.groupBy("day", "reg").agg(
         F.max(F.expr(_rho_case_sql("v"))).alias("rho")
     )
-    est_num = ALPHA_MILLI * M_REGISTERS * M_REGISTERS * (1 << (RHO_BITS + 1))
-    sketch = (
-        regs.groupBy("day")
-        .agg(
-            (
-                F.sum(F.expr(f"shiftleft(1L, {RHO_BITS + 1} - rho)"))
-                + (M_REGISTERS - F.count("*")) * (1 << (RHO_BITS + 1))
-            ).alias("s_inv"),
-            (M_REGISTERS - F.count("*")).cast("long").alias("zero_regs"),
-        )
-        .select("day", "s_inv", "zero_regs",
-                F.expr(f"{est_num}L div s_inv").alias("est_milli"))
-    )
-    exact = (
-        load(spark, sf_dir, "events")
-        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .agg(F.countDistinct("user_id").alias("exact_distinct"))
-    )
-    return sketch.join(exact, "day").orderBy("day")
+    return finalize_daily_registers(regs, load(spark, sf_dir, "events"))
 
 
 def hll_users_daily_sql() -> str:

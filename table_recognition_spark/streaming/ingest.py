@@ -328,13 +328,255 @@ def stream_hll_users_daily_registers(
 
     Update output mode: each micro-batch re-emits the keys it touched;
     the last emission per key is the final register state."""
-    from ..operators.sketch import M_REGISTERS, _rho_case_sql
-
     schema = (
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string"
     )
     ev = spark.readStream.schema(schema).format("parquet").load(events_path)
+    return _hll_registers_from_stream(ev, watermark)
+
+
+# --- bounded driver-gated drives ---------------------------------------
+# Each function below replays a fixture table through a real file stream
+# as TWO deterministic micro-batches (maxFilesPerTrigger=1 over two
+# staged files with strictly increasing mtimes) and returns the final
+# result, so the driver's rows+schema+hash DuckDB gate covers the
+# STATEFUL cross-batch path of every streaming operator — state carried
+# between batches, watermark advancement, update-mode re-emission — not
+# just the single-batch plan. The staging order is chosen per operator
+# so the streamed result provably equals a batch-relational oracle
+# (see each docstring); the order-SENSITIVE behaviors (a later batch
+# never overrides first-seen state even with a smaller doc_id) stay
+# pinned by tests/test_stateful_streaming.py, which stages adversarial
+# batch contents the relational oracle could not express.
+
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _stage_two_batches(df: DataFrame, sort_cols) -> str:
+    """Write ``df`` as two parquet files (first/second half in
+    ``sort_cols`` order) with increasing mtimes: a deterministic
+    two-micro-batch replay for a maxFilesPerTrigger=1 file stream.
+    Driver-side staging of a bounded fixture — the operators under
+    test never touch pandas."""
+    import os
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="trs_stream_src_")
+    pdf = df.orderBy(*sort_cols).toPandas()
+    mid = len(pdf) // 2
+    now = time.time()
+    for i, part in enumerate((pdf.iloc[:mid], pdf.iloc[mid:])):
+        p = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            p,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(p, (now + 10 * i, now + 10 * i))
+    return src
+
+
+def _drive_two_batch_stream(spark, builder, src, schema, mode: str):
+    """Run ``builder(stream_df)`` over the staged two-file source to
+    completion; returns the memory-sink table as a DataFrame."""
+    import shutil
+    import uuid
+
+    name = "stream_gate_" + uuid.uuid4().hex[:8]
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # fixture-sized state: 8 partitions keep two micro-batches from
+    # being pure task scheduling (production sizes to key cardinality)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+        )
+        q = (
+            builder(ev)
+            .writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name)
+
+
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated drive of the watermarked stream-stream range join
+    (``stream_view_purchase_join``): every purchase matched to the same
+    user's views in the preceding 30 minutes, streamed as two
+    ts-ordered micro-batches.
+
+    Why the ts-ordered split makes the streamed result equal the batch
+    join (the DuckDB oracle): with batch 1 = earlier half by ts, every
+    view a batch-2 purchase needs (v_ts > p_ts - 30min ≥ split - 30min)
+    is either in batch 2 or still in state — view state evicts only
+    once the watermark passes v_ts + 30min, and after batch 1 the
+    watermark stands at split - 1h < v_ts + 30min. Symmetrically no
+    batch-2 row is late (all ts ≥ split ≥ watermark). Inner matches
+    emit as found; no flush sentinel needed."""
+    from ..operators.common import load
+
+    src = _stage_two_batches(
+        load(spark, sf_dir, "events"), ["ts", "event_id"]
+    )
+
+    def build(ev):
+        views = (
+            ev.filter(F.col("event_type") == "view")
+            .select(F.col("user_id").alias("v_user"),
+                    F.col("ts").alias("v_ts"))
+            .withWatermark("v_ts", "1 hour")
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts")
+            .withWatermark("ts", "1 hour")
+        )
+        return (
+            purchases.join(
+                views,
+                (F.col("user_id") == F.col("v_user"))
+                & (F.col("v_ts")
+                   >= F.col("ts") - F.expr("interval 30 minutes"))
+                & (F.col("v_ts") < F.col("ts")),
+            )
+            .select(
+                "event_id",
+                F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss")
+                .alias("view_ts"),
+            )
+        )
+
+    out = _drive_two_batch_stream(spark, build, src, _EVENTS_SCHEMA,
+                                  "append")
+    return out.orderBy("event_id", "view_ts")
+
+
+STREAM_ATTRIBUTION_SQL = """
+SELECT p.event_id AS event_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ AND v.ts < p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+ORDER BY 1, 2
+"""
+
+
+def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated drive of the incremental exact dedup
+    (``stream_dedup_exact``): the planted-duplicate corpus (same plant
+    as the batch dedup queries) streamed as two doc_id-ordered
+    micro-batches — every planted exact copy (doc_id + 100000) arrives
+    in the same batch as, or a later batch than, its original, so
+    first-seen ≡ min(doc_id) per fingerprint and the batch-2 copies of
+    batch-1 originals exercise the cross-batch ``state.exists`` drop
+    path under the hash gate."""
+    from ..operators.common import load
+    from ..operators.dedup import _with_planted_dups
+    from .dedup import stream_dedup_exact
+
+    docs = _with_planted_dups(load(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    src = _stage_two_batches(docs, ["doc_id"])
+    out = _drive_two_batch_stream(
+        spark, stream_dedup_exact, src,
+        "doc_id bigint, text string", "append",
+    )
+    return out.orderBy("fingerprint")
+
+
+def _stream_dedup_sql() -> str:
+    from ..operators.common import NORM_SQL
+    from ..operators.dedup import _PLANTED_SQL
+
+    norm = NORM_SQL.format(c="text")
+    return f"""
+    SELECT md5({norm}) AS fingerprint, doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM (SELECT doc_id, text,
+                 row_number() OVER (
+                     PARTITION BY md5({norm}) ORDER BY doc_id) AS rn
+          FROM {_PLANTED_SQL})
+    WHERE rn = 1 ORDER BY fingerprint
+    """
+
+
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated drive of the ``applyInPandasWithState`` running
+    per-user totals: two micro-batches of events, final state per user
+    = the batch aggregate. Both emitted columns are strictly increasing
+    per user across batches (every event adds ≥1 cent), so the final
+    row is max() of the update-mode emissions — no window needed."""
+    from ..operators.common import load
+    from .stateful import running_user_totals
+
+    src = _stage_two_batches(
+        load(spark, sf_dir, "events"), ["ts", "event_id"]
+    )
+    out = _drive_two_batch_stream(
+        spark, running_user_totals, src, _EVENTS_SCHEMA, "update"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max("value_c").alias("value_c"))
+        .orderBy("user_id")
+    )
+
+
+STREAM_TOTALS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def stream_hll_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated drive of the streaming per-day HLL register stream:
+    two ts-ordered micro-batches, update-mode emissions max-merged per
+    (day, register) and finalized with the SAME code as the batch
+    sketch (operators/sketch.py::finalize_daily_registers) — the
+    incremental register maxes are bit-equal to the batch sketch, so
+    the oracle IS the batch query's SQL."""
+    from ..operators.common import load
+    from ..operators.sketch import finalize_daily_registers
+
+    src = _stage_two_batches(
+        load(spark, sf_dir, "events"), ["ts", "event_id"]
+    )
+    out = _drive_two_batch_stream(
+        spark, _hll_registers_from_stream, src, _EVENTS_SCHEMA, "update"
+    )
+    regs = out.groupBy("day", "reg").agg(F.max("rho").alias("rho"))
+    return finalize_daily_registers(regs, load(spark, sf_dir, "events"))
+
+
+def _hll_registers_from_stream(
+    ev: DataFrame, watermark: str = "0 seconds"
+) -> DataFrame:
+    from ..operators.sketch import M_REGISTERS, _rho_case_sql
+
     hashed = ev.withWatermark("ts", watermark).select(
         F.window("ts", "1 day").alias("w"),
         F.md5(F.col("user_id").cast("string")).alias("h"),
@@ -348,3 +590,25 @@ def stream_hll_users_daily_registers(
     return hashed.groupBy("day", "w", "reg").agg(
         F.max(F.expr(_rho_case_sql("v"))).alias("rho")
     ).select("day", "reg", "rho")
+
+
+def _oracles() -> dict:
+    from ..operators.sketch import hll_users_daily_sql
+
+    return {
+        "stream_events_sessions": STREAM_SESSIONS_SQL,
+        "stream_attribution_join": STREAM_ATTRIBUTION_SQL,
+        "stream_dedup_first_seen": _stream_dedup_sql(),
+        "stream_user_totals": STREAM_TOTALS_SQL,
+        "stream_hll_users_daily": hll_users_daily_sql(),
+    }
+
+
+QUERIES = {
+    "stream_events_sessions": stream_events_sessions,
+    "stream_attribution_join": stream_attribution_join,
+    "stream_dedup_first_seen": stream_dedup_first_seen,
+    "stream_user_totals": stream_user_totals,
+    "stream_hll_users_daily": stream_hll_users_daily,
+}
+ORACLES = _oracles()
