@@ -235,6 +235,9 @@ BENCH_QUERIES = [
     "text_lang_id",
     "text_winnow_fingerprints",
     "text_lm_surprisal",
+    "text_bpe_merges",
+    "text_bpe_token_counts",
+    "pipeline_pretraining_corpus",
     "sketch_hll_distinct",
     "sketch_hll_users_daily",
     "sketch_cms_tokens",
@@ -264,6 +267,10 @@ BENCH_QUERIES = [
     "gt_repair_rows",
     "layout_prune_stats",
     "stream_events_sessions",
+    "stream_attribution_join",
+    "stream_dedup_first_seen",
+    "stream_user_totals",
+    "stream_hll_users_daily",
     "pipeline_checkpoint_resume",
     "extract_from_pagexml",
     "extract_from_pagexml_files",

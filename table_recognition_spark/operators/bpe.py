@@ -14,17 +14,28 @@ Scale design (the part that must survive 100 TB):
   heavy pass every counting query pays.  Every merge round after that
   runs on |V| rows (distinct words with counts), never on corpus
   tokens: at web scale |V| ~ 1e8 while the corpus is ~1e12 tokens.
+- Pair counts are maintained INCREMENTALLY (the delta scheme every
+  single-node BPE trainer uses, distributed): the full
+  explode-all-pairs aggregation runs once up front; each round then
+  folds only the affected words' before/after pair multisets into the
+  standing pair table — one union + groupBy-sum shuffle over
+  |pairs| + O(affected) rows, never a re-explode of all |V| words.
+  (Merging e.g. ('t','h') late in training touches the words
+  containing "th", not the entire vocabulary.)
 - Per round, three bounded steps:
-  1. a map-side-combinable pair-count aggregation over the vocab
-     (explode adjacent symbol pairs weighted by word count, sum);
-  2. a driver fetch of exactly ONE row — the argmax pair, tie-broken
-     (count desc, pair lexicographic) for determinism.  Bounded the
-     same way dedup's connected-components convergence scalar is:
-     n_merges rows total cross the driver, regardless of corpus size.
-  3. an Arrow-batched greedy left-to-right merge applied ONLY to the
+  1. a driver fetch of exactly ONE row — the argmax pair from the
+     standing pair table, tie-broken (count desc, pair lexicographic)
+     for determinism.  Bounded the same way dedup's
+     connected-components convergence scalar is: n_merges rows total
+     cross the driver, regardless of corpus size.
+  2. an Arrow-batched greedy left-to-right merge applied ONLY to the
      words that actually contain the winning adjacent pair — a
      JVM-side ``exists(zip_with(...))`` prefilter routes untouched
      words around the pandas UDF entirely.
+  3. the delta fold: pair table (+c) ∪ hit-word pairs before (−cnt)
+     ∪ hit-word pairs after (+cnt) → one groupBy sum, rows with
+     count 0 dropped.  Exact integer arithmetic — bit-identical to
+     recounting from scratch.
 - ``localCheckpoint`` truncates the union + UDF lineage each round
   (reliable ``checkpoint()`` to cluster storage at real scale), the
   same iterative-algorithm pattern as ``dedup.py``'s pointer jumping.
@@ -60,25 +71,38 @@ def _adj_pairs(syms):
     )
 
 
-def _has_adjacent(syms, a: str, b: str):
-    return F.exists(
-        _adj_pairs(syms),
-        lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)),
-    )
+# symbol-sequence signature delimiter: symbols are tokenizer output
+# ([a-z0-9]+ substrings) plus the EOW marker, so NUL can never occur
+# inside one — substring match on the signature is EXACTLY the
+# adjacent-pair test, at a fraction of the expression-tree (and
+# per-round driver re-planning) cost of an exists(zip_with(...)) probe
+_SEP = "\x00"
 
 
-def _merge_udf(a: str, b: str):
-    """Greedy left-to-right merge of adjacent (a, b) -> a+b.
+def _sig(syms):
+    return F.concat(F.lit(_SEP), F.array_join(syms, _SEP), F.lit(_SEP))
+
+
+def _merge_delta_udf(a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) -> a+b, plus the
+    word's pair-count delta (after-minus-before multiset) in the same
+    pass — one Arrow batch per round feeds BOTH the next vocab and the
+    standing pair table's incremental update.
 
     Sequential within one word (overlaps: 'aaa' under (a,a) -> 'aa','a')
     so it cannot be a Catalyst array expression; Arrow-batched, never
     per-row Python."""
 
-    @F.pandas_udf("array<string>")
-    def merge(col: pd.Series) -> pd.Series:
-        ab = a + b
+    @F.pandas_udf(
+        "syms array<string>, deltas array<struct<a string, b string, d int>>"
+    )
+    def merge(col: pd.Series) -> pd.DataFrame:
+        import collections
 
-        def m(s):
+        ab = a + b
+        syms_out, deltas_out = [], []
+        for s in col:
+            s = list(s)
             out = []
             i, n = 0, len(s)
             while i < n:
@@ -88,16 +112,21 @@ def _merge_udf(a: str, b: str):
                 else:
                     out.append(s[i])
                     i += 1
-            return out
-
-        return col.map(m)
+            d = collections.Counter(zip(out, out[1:]))
+            d.subtract(collections.Counter(zip(s, s[1:])))
+            syms_out.append(out)
+            deltas_out.append(
+                [{"a": x, "b": y, "d": v} for (x, y), v in d.items() if v]
+            )
+        return pd.DataFrame({"syms": syms_out, "deltas": deltas_out})
 
     return merge
 
 
 def word_vocab(docs: DataFrame) -> DataFrame:
-    """(w, cnt, syms): the distinct-word frequency table, each word as
-    its initial symbol sequence (chars + end-of-word marker)."""
+    """(w, cnt, syms, sig): the distinct-word frequency table, each word
+    as its initial symbol sequence (chars + end-of-word marker) plus the
+    NUL-joined signature the per-round hit filter probes."""
     return (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")
@@ -105,6 +134,7 @@ def word_vocab(docs: DataFrame) -> DataFrame:
         .withColumn(
             "syms", F.concat(F.split("w", ""), F.array(F.lit(EOW)))
         )
+        .withColumn("sig", _sig(F.col("syms")))
     )
 
 
@@ -112,32 +142,83 @@ def learn_merges(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     """The learned merge table: (rank, left, right, merged, pair_count),
     rank order — deterministic given the corpus and tokenizer."""
     spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # the one corpus-sized pass runs under the session's AQE settings
     vocab = word_vocab(docs).localCheckpoint()
+    # AQE off for the merge loop: under AQE, a lazy localCheckpoint of
+    # a plan containing an exchange is not lazy — AdaptiveSparkPlanExec
+    # materializes its shuffle stages at toRdd time, so every round
+    # would pay an extra eager job plus per-stage re-planning.  The
+    # loop's shuffles are over the standing pair table (|distinct
+    # symbol pairs|, orders of magnitude below the corpus), where fixed
+    # hash partitioning is the right plan anyway.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _merge_loop(spark, vocab, n_merges, par)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _merge_loop(spark, vocab, n_merges: int, par: int) -> DataFrame:
+    pair_counts = (
+        vocab.select(
+            F.col("cnt"), F.explode(_adj_pairs(F.col("syms"))).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cols = ["w", "cnt", "syms", "sig"]
     rows = []
     for rank in range(n_merges):
         best = (
-            vocab.select("cnt", F.explode(_adj_pairs(F.col("syms"))).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.desc("c"), "a", "b")
-            .limit(1)
-            .collect()
+            pair_counts.orderBy(F.desc("c"), "a", "b").limit(1).collect()
         )
         if not best:
             break  # vocab fully merged: every word is one symbol
         a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
         rows.append((rank, a, b, a + b, c))
-        hit = vocab.filter(_has_adjacent(F.col("syms"), a, b))
-        rest = vocab.filter(~_has_adjacent(F.col("syms"), a, b))
+        pat = F.lit(_SEP + a + _SEP + b + _SEP)
+        hit = vocab.filter(F.col("sig").contains(pat))
+        rest = vocab.filter(~F.col("sig").contains(pat))
+        # checkpointed: one UDF pass feeds BOTH the delta fold and the
+        # next vocab
+        merged = hit.withColumn(
+            "r", _merge_delta_udf(a, b)(F.col("syms"))
+        ).localCheckpoint(eager=False)
+        # ONE shuffle per round: standing table (+c) ∪ affected words'
+        # pair deltas (±d × word count) → groupBy sum; only
+        # |pairs| + O(affected) rows move, never the full vocab
+        pair_counts = (
+            pair_counts.select("a", "b", "c")
+            .unionByName(
+                merged.select(
+                    "cnt", F.explode("r.deltas").alias("p")
+                ).select(
+                    F.col("p.a").alias("a"),
+                    F.col("p.b").alias("b"),
+                    (F.col("p.d").cast("long") * F.col("cnt")).alias("c"),
+                )
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("c").alias("c"))
+            .filter(F.col("c") > 0)
+            .coalesce(par)
+            # lazy: materializes inside the NEXT round's argmax job
+            # (one job per round instead of two); lineage still truncates
+            .localCheckpoint(eager=False)
+        )
         vocab = (
-            hit.withColumn("syms", _merge_udf(a, b)(F.col("syms")))
-            .unionByName(rest)
+            merged.select(
+                "w", "cnt", F.col("r.syms").alias("syms"),
+                _sig(F.col("r.syms")).alias("sig"),
+            )
+            .unionByName(rest.select(*cols))
             # the union concatenates both branches' partitions; without
             # this shuffle-free merge the partition count doubles every
             # round (P * 2^n_merges tasks by the last round)
-            .coalesce(spark.sparkContext.defaultParallelism)
-            # lazy: materializes inside the NEXT round's pair-count job
-            # (one job per round instead of two); lineage still truncates
+            .coalesce(par)
             .localCheckpoint(eager=False)
         )
     return spark.createDataFrame(rows, MERGE_SCHEMA)
