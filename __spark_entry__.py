@@ -419,9 +419,10 @@ DRIVER_WINDOW = [
     # standalone query rotates out of the window (pytest mirror still
     # runs it)
     "pipeline_pretraining_corpus",
-    # dedup (9 of 10 standalone)
+    # dedup (8 of 10 standalone; simhash rotates out for the new graph
+    # family — its banding shape is minhash_lsh's, pytest mirror still
+    # runs it)
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_jaccard_ngram",
     "dedup_embedding_cosine",
     "dedup_embedding_recall",
@@ -446,6 +447,9 @@ DRIVER_WINDOW = [
     # stream-stream range join's two-micro-batch drive) + crash-resume
     # (new round 6)
     "layout_prune_stats",
+    # iterative graph family (new round 6): integer PageRank over the
+    # co-purchase graph
+    "graph_pagerank",
     "stream_events_sessions",
     "stream_attribution_join",
     "pipeline_checkpoint_resume",
@@ -479,7 +483,8 @@ DRIVER_WINDOW = [
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from table_recognition_spark.operators import (
-        bpe, corpus_pipeline, dedup, layout, similarity, sketch, textstats,
+        bpe, corpus_pipeline, dedup, graph, incremental, layout,
+        similarity, sketch, textstats,
     )
     from table_recognition_spark.queries import relational
     from table_recognition_spark.streaming import ingest
@@ -489,6 +494,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(textstats.QUERIES)
     q.update(bpe.QUERIES)
     q.update(corpus_pipeline.QUERIES)
+    q.update(incremental.QUERIES)
+    q.update(graph.QUERIES)
     q.update(dedup.QUERIES)
     q.update(similarity.QUERIES)
     q.update(sketch.QUERIES)
@@ -522,7 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from table_recognition_spark.operators import (
-        corpus_pipeline, dedup, layout, similarity, sketch, textstats,
+        corpus_pipeline, dedup, graph, incremental, layout, similarity,
+        sketch, textstats,
     )
     from table_recognition_spark.queries import relational
     from table_recognition_spark.streaming import ingest
@@ -531,6 +539,8 @@ def oracle_sql() -> dict[str, str]:
     o.update(relational.ORACLES)
     o.update(textstats.ORACLES)
     o.update(corpus_pipeline.ORACLES)
+    o.update(incremental.ORACLES)
+    o.update(graph.ORACLES)
     o.update(dedup.ORACLES)
     o.update(similarity.ORACLES)
     o.update(sketch.ORACLES)

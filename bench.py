@@ -238,6 +238,8 @@ BENCH_QUERIES = [
     "text_bpe_merges",
     "text_bpe_token_counts",
     "pipeline_pretraining_corpus",
+    "pipeline_mv_incremental",
+    "graph_pagerank",
     "sketch_hll_distinct",
     "sketch_hll_users_daily",
     "sketch_cms_tokens",
@@ -266,6 +268,7 @@ BENCH_QUERIES = [
     "dataset_split_load",
     "gt_repair_rows",
     "layout_prune_stats",
+    "layout_zorder_stats",
     "stream_events_sessions",
     "stream_attribution_join",
     "stream_dedup_first_seen",

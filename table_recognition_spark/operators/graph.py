@@ -1,0 +1,123 @@
+"""Iterative graph algebra over a derived co-purchase graph.
+
+No reference counterpart (the reference's only graph is the per-image
+k-NN cell graph, core/knn.py); this adds the join-per-iteration
+distributed pattern — the one large-scale shape the suite's iterative
+operators (connected components' pointer jumping, BPE's delta rounds)
+don't yet cover: a fixed-point computation whose every round is a
+full edge-relation join + aggregate.
+
+Graph: parts co-purchased in the same order (lineitem self-joined on
+l_orderkey), undirected, deduplicated. PageRank runs a FIXED 5
+iterations in exact integer arithmetic — ranks in micro-units, damping
+0.85 as (150000 + 850·x div 1000), per-edge contribution rank div
+out_degree — so the result is bit-identical across engines and the
+DuckDB oracle can unroll the same five rounds as chained CTEs.
+(Floating-point PageRank would hash-mismatch on summation order; the
+integer respec trades conserved mass for cross-engine exactness, the
+same trade the suite's HLL/surprisal operators make.)
+
+Scale shape: the edge relation is built ONCE (one self-join shuffle on
+the order key, then distinct) and checkpointed; each iteration is one
+hash join of the rank vector (|V| rows) against the edge list on src +
+one groupBy(dst) aggregate — both exchanges on the same keys every
+round, which a real cluster co-partitions so only the rank vector
+moves. Degrees ride inside the edge relation so the per-round join is
+single, not double. No driver-side state: the loop composes a lazy
+plan, one action at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .common import load
+
+N_ITERS = 5
+R0 = 1_000_000  # initial rank, micro-units
+
+
+def copurchase_edges(li: DataFrame) -> DataFrame:
+    """(src, dst, deg): distinct directed co-purchase edges (both
+    directions of the undirected pair) with the source's out-degree
+    attached — one self-join on the order key, one distinct, one
+    degree aggregate, all before the iteration loop."""
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    return edges.join(deg, "src")
+
+
+def pagerank(edges: DataFrame, n_iters: int = N_ITERS) -> DataFrame:
+    """(node, rank): integer PageRank after ``n_iters`` rounds.
+    Every node of the symmetric edge set has in- and out-edges, so no
+    dangling-mass term is needed."""
+    ranks = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "rank", F.lit(R0).cast("long")
+    )
+    for _ in range(n_iters):
+        ranks = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(
+                (F.lit(150_000) + F.expr("(850 * sum(c)) div 1000"))
+                .cast("long")
+                .alias("rank")
+            )
+        )
+    return ranks
+
+
+def graph_pagerank(spark, sf_dir) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = copurchase_edges(li).localCheckpoint()
+    return pagerank(edges).orderBy("node")
+
+
+def graph_pagerank_sql() -> str:
+    rounds = []
+    prev = "r0"
+    for k in range(1, N_ITERS + 1):
+        rounds.append(
+            f"""r{k} AS (
+      SELECT e.dst AS node,
+             150000 + (850 * sum(r.rank // e.deg)) // 1000 AS rank
+      FROM edges e JOIN {prev} r ON e.src = r.node GROUP BY e.dst
+    )"""
+        )
+        prev = f"r{k}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM pairs GROUP BY src),
+    edges AS (
+      SELECT p.src, p.dst, d.deg FROM pairs p JOIN deg d ON p.src = d.src
+    ),
+    r0 AS (
+      SELECT DISTINCT src AS node, CAST({R0} AS BIGINT) AS rank FROM pairs
+    ),
+    {chain}
+    SELECT node, CAST(rank AS BIGINT) AS rank FROM {prev} ORDER BY node
+    """
+
+
+QUERIES = {"graph_pagerank": graph_pagerank}
+ORACLES = {"graph_pagerank": graph_pagerank_sql()}

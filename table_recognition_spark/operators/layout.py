@@ -189,5 +189,144 @@ def layout_prune_stats_sql() -> str:
     """
 
 
-QUERIES = {"layout_prune_stats": layout_prune_stats}
-ORACLES = {"layout_prune_stats": layout_prune_stats_sql()}
+# ------------------------------------------------------ Z-order layout
+# Range clustering prunes ONE key; a table queried selectively on two
+# independent keys needs multi-dimensional clustering. Z-ordering
+# (Morton order — the technique behind Delta/Iceberg OPTIMIZE ZORDER)
+# interleaves the bits of the two keys' fixed-width ranks so that
+# lexicographic order on the interleaved value keeps BOTH dimensions
+# locally clustered: every bucket of consecutive z-values spans only a
+# fraction of each key's domain, so row-group min/max stats prune
+# selective predicates on either column. The query below lays events
+# out by z(user_id, event_id) and measures, from the real parquet
+# footers, how many row groups a mid-range predicate on EACH column
+# must read; the DuckDB oracle derives the same counts relationally
+# from the identical bit-interleave math — a cross-engine check that
+# the written stats deliver two-dimensional pruning.
+
+_Z_BITS = 16  # per-key rank width; z fits in 32 bits
+_ZB = 8  # bucket files = top 3 z bits (2 of key-1, 1 of key-2)
+
+
+def _z_terms(x: str, y: str, shift: str) -> str:
+    """Bit-interleave of two ``_Z_BITS``-wide ints; ``shift`` picks the
+    dialect (Spark ``shiftleft(v, n)`` has no ``<<`` in 3.x-compatible
+    form; DuckDB only has the operator)."""
+    terms = []
+    for i in range(_Z_BITS):
+        if shift == "fn":
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i + 1})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)  # disjoint bits: + is |
+
+
+def layout_zorder_stats(spark, sf_dir) -> DataFrame:
+    """Z-order events on (user_id, event_id) into 8 bucket files, then
+    count from parquet footers how many row groups a 3/16-domain
+    predicate on each column must read. One row: (files_total,
+    rowgroups_total, match_user, match_event, rows_sel_user,
+    rows_sel_event, rows_total)."""
+    import tempfile
+
+    from .common import load
+
+    ev = load(spark, sf_dir, "events")
+    mnu, mxu, mne, mxe, n_rows = ev.agg(
+        F.min("user_id"), F.max("user_id"),
+        F.min("event_id"), F.max("event_id"), F.count("*"),
+    ).first()
+    span_u = int(mxu) - int(mnu) + 1
+    span_e = int(mxe) - int(mne) + 1
+    lou, hiu = int(mnu) + span_u // 4, int(mnu) + (span_u * 7) // 16
+    loe, hie = int(mne) + span_e // 4, int(mne) + (span_e * 7) // 16
+    rank_u = f"((user_id - {mnu}) * {1 << _Z_BITS}) div {span_u}"
+    rank_e = f"((event_id - {mne}) * {1 << _Z_BITS}) div {span_e}"
+    out_dir = tempfile.mkdtemp(prefix="trs_zorder_")
+    (
+        ev.withColumn("rx", F.expr(rank_u))
+        .withColumn("ry", F.expr(rank_e))
+        .withColumn("z", F.expr(_z_terms("rx", "ry", "fn")))
+        .withColumn("bucket", F.expr(f"z div {1 << (2 * _Z_BITS - 3)}"))
+        .drop("rx", "ry")
+        .repartition(_ZB, "bucket")  # each bucket lands whole in one task
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    st_u = rowgroup_prune_stats(out_dir, "user_id", lou, hiu)
+    st_e = rowgroup_prune_stats(out_dir, "event_id", loe, hie)
+    sel_u = ev.filter(F.col("user_id").between(lou, hiu)).count()
+    sel_e = ev.filter(F.col("event_id").between(loe, hie)).count()
+    return spark.createDataFrame(
+        [
+            (
+                st_u["files"], st_u["total"], st_u["matching"],
+                st_e["matching"], sel_u, sel_e, int(n_rows),
+            )
+        ],
+        "files_total long, rowgroups_total long, match_user long, "
+        "match_event long, rows_sel_user long, rows_sel_event long, "
+        "rows_total long",
+    )
+
+
+def layout_zorder_stats_sql() -> str:
+    """DuckDB mirror: per-z-bucket min/max of each key from the same
+    rank/interleave math; a bucket "matches" iff its [min, max] on that
+    key intersects the predicate. One row group per bucket file — the
+    same sf-scale assumption layout_prune_stats pins in pytest."""
+    z = _z_terms("rx", "ry", "op")
+    return f"""
+    WITH lim AS (
+      SELECT min(user_id) AS mnu,
+             max(user_id) - min(user_id) + 1 AS span_u,
+             min(event_id) AS mne,
+             max(event_id) - min(event_id) + 1 AS span_e
+      FROM events
+    ),
+    pred AS (
+      SELECT mnu + span_u // 4 AS lou, mnu + (span_u * 7) // 16 AS hiu,
+             mne + span_e // 4 AS loe, mne + (span_e * 7) // 16 AS hie
+      FROM lim
+    ),
+    ranked AS (
+      SELECT ((user_id - mnu) * {1 << _Z_BITS}) // span_u AS rx,
+             ((event_id - mne) * {1 << _Z_BITS}) // span_e AS ry,
+             user_id, event_id
+      FROM events, lim
+    ),
+    bucketed AS (
+      SELECT ({z}) // {1 << (2 * _Z_BITS - 3)} AS bucket,
+             min(user_id) AS umn, max(user_id) AS umx,
+             min(event_id) AS emn, max(event_id) AS emx
+      FROM ranked GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM bucketed) AS BIGINT) AS files_total,
+           CAST((SELECT count(*) FROM bucketed) AS BIGINT)
+               AS rowgroups_total,
+           CAST((SELECT count(*) FROM bucketed, pred
+                 WHERE umn <= hiu AND umx >= lou) AS BIGINT) AS match_user,
+           CAST((SELECT count(*) FROM bucketed, pred
+                 WHERE emn <= hie AND emx >= loe) AS BIGINT) AS match_event,
+           CAST((SELECT count(*) FROM events, pred
+                 WHERE user_id BETWEEN lou AND hiu) AS BIGINT)
+               AS rows_sel_user,
+           CAST((SELECT count(*) FROM events, pred
+                 WHERE event_id BETWEEN loe AND hie) AS BIGINT)
+               AS rows_sel_event,
+           CAST((SELECT count(*) FROM events) AS BIGINT) AS rows_total
+    """
+
+
+QUERIES = {
+    "layout_prune_stats": layout_prune_stats,
+    "layout_zorder_stats": layout_zorder_stats,
+}
+ORACLES = {
+    "layout_prune_stats": layout_prune_stats_sql(),
+    "layout_zorder_stats": layout_zorder_stats_sql(),
+}
