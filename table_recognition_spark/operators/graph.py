@@ -84,17 +84,28 @@ def pagerank(edges: DataFrame, n_iters: int = N_ITERS) -> DataFrame:
 
 def graph_pagerank(spark, sf_dir) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # hash-partitioned on src BEFORE the checkpoint: localCheckpoint
-    # preserves partitioning, so every iteration's join reuses the edge
-    # side in place and only the |V|-row rank vector shuffles — at sf0.1
-    # this halves the whole query (13.2 -> 6.7 s) and at cluster scale
-    # it is the difference between moving 2.4M edges x 5 rounds and
-    # moving 20k ranks x 5 rounds
-    edges = (
-        copurchase_edges(li)
-        .repartition(spark.sparkContext.defaultParallelism, "src")
-        .localCheckpoint()
-    )
+    # hash-partitioned on src BEFORE the checkpoint, with AQE off while
+    # the checkpoint plan is built: under AQE the checkpointed
+    # LogicalRDD records UnknownPartitioning (the adaptive plan's final
+    # partitioning isn't static), so Catalyst would re-exchange the
+    # edge relation in EVERY iteration.  With the partitioning
+    # statically known, the edge scans in the loop plan carry
+    # hashpartitioning(src) + sort order and the per-iteration join
+    # elides both Exchange and Sort on the edge side — the only
+    # shuffle per round is the groupBy(dst) transpose, the algorithmic
+    # minimum: ranks move, edges never do.  Pinned by
+    # tests/test_plans.py::test_pagerank_iteration_reuses_edge_partitioning;
+    # at sf0.1 this halves the whole query (13.2 -> ~6.7 s).
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = (
+            copurchase_edges(li)
+            .repartition(spark.sparkContext.defaultParallelism, "src")
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return pagerank(edges).orderBy("node")
 
 

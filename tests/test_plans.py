@@ -251,3 +251,60 @@ def test_q10_broadcasts_dims_and_prunes(spark):
     assert p.count("BroadcastHashJoin") >= 2, p[:1500]
     assert "CartesianProduct" not in p, p[:1500]
     assert "BroadcastNestedLoopJoin" not in p, p[:1500]
+
+
+def test_pagerank_iteration_reuses_edge_partitioning(spark):
+    """The per-iteration join must NOT re-shuffle the edge relation:
+    edges are hash-partitioned on src before the checkpoint, so the
+    only exchanges in the 5-round plan are the |V|-row rank-vector
+    shuffles and groupBy(dst) aggregations — if an Exchange over the
+    full edge relation reappears per round, the scale story (move
+    ranks, not edges) is lost."""
+    from pyspark.sql import functions as F
+
+    from table_recognition_spark.operators import graph
+    from table_recognition_spark.operators.common import load
+
+    import re
+
+    li = load(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = (
+            graph.copurchase_edges(li)
+            .repartition(8, "src")
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    n_iters = 3
+    plan = _formatted_plan(graph.pagerank(edges, n_iters=n_iters))
+    # edge scans must carry the checkpoint-preserved partitioning...
+    assert "hashpartitioning(src" in plan, plan[:2000]
+    # ...so the ONLY exchanges are the per-round groupBy(dst) transpose
+    # aggregations (n_iters of them); a per-round edge re-shuffle would
+    # add n_iters more
+    exchanges = re.findall(r"\n\(\d+\) Exchange", plan)
+    assert len(exchanges) == n_iters, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mv_incremental_fold_is_one_exchange(spark):
+    """merge_partials must be union -> ONE hash aggregate exchange on
+    the group key — a second exchange would mean the fold re-shuffles
+    state it could have co-located."""
+    import re
+
+    from table_recognition_spark.operators import incremental
+    from table_recognition_spark.operators.common import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    state = incremental._partials(ev).localCheckpoint()
+    plan = _formatted_plan(
+        incremental.merge_partials(state, incremental._partials(ev))
+    )
+    exchanges = re.findall(r"\n\(\d+\) Exchange", plan)
+    assert len(exchanges) <= 2, plan[:2000]  # delta partials + the fold
