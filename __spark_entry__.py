@@ -501,6 +501,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(sketch.QUERIES)
     q.update(layout.QUERIES)
     q.update(ingest.QUERIES)
+    from table_recognition_spark.pipeline import skew
+
+    q.update(skew.QUERIES)
     q["pipeline_checkpoint_resume"] = _pipeline_checkpoint_resume
     q["extract_from_pagexml_files"] = _extract_from_pagexml_files
     # non-SQL-expressible (GNN kernel / binary decode) → oracled via the
@@ -546,6 +549,9 @@ def oracle_sql() -> dict[str, str]:
     o.update(sketch.ORACLES)
     o.update(layout.ORACLES)
     o.update(ingest.ORACLES)
+    from table_recognition_spark.pipeline import skew
+
+    o.update(skew.ORACLES)
     o["dataset_split_load"] = DATASET_SPLIT_SQL
     o["gt_repair_rows"] = _gt_repair_sql()
     for name in EXPECTED_ORACLE_QUERIES:

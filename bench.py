@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "text_bpe_token_counts",
     "pipeline_pretraining_corpus",
     "pipeline_mv_incremental",
+    "pipeline_scd2_merge",
+    "pipeline_skew_salted_join",
     "graph_pagerank",
     "sketch_hll_distinct",
     "sketch_hll_users_daily",

@@ -112,5 +112,98 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-QUERIES = {"pipeline_mv_incremental": mv_incremental}
-ORACLES = {"pipeline_mv_incremental": MV_INCREMENTAL_SQL}
+# ------------------------------------------------- SCD2 / CDC merge
+# The other half of incremental maintenance: a versioned DIMENSION.
+# Each event is a change record setting its user's current attribute
+# (value, in cents); the type-2 slowly-changing dimension keeps every
+# version as (user_id, value_c, valid_from, valid_to, is_current).
+# The merge step is the CDC upsert every warehouse pipeline runs:
+# close the open row of each touched user at the delta's first change
+# time, append the delta's own version chain, pass untouched users
+# through — all keyed by user_id, so at scale it is a co-partitioned
+# join of the dimension's OPEN slice (|users| rows) against the delta,
+# never a rescan of the closed history.
+
+
+def _scd2(ev: DataFrame) -> DataFrame:
+    """Full-history SCD2 build: one window pass per user ordered by
+    (ts, event_id) — the from-scratch shape the merge must equal."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "ts", "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_c"),
+    ).select(
+        "user_id", "value_c",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def scd2_merge(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a CDC delta batch into a standing SCD2 dimension.
+
+    ``state``: (user_id, value_c, valid_from, valid_to, is_current);
+    ``delta``: raw change events. Touches only the open slice — closed
+    rows stream through untouched (at scale: a partition-pruned
+    pass-through, since closed history is immutable)."""
+    dv = _scd2(delta)  # the delta's own version chain
+    first_change = delta.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id"))["ts"].alias("first_ts")
+    )
+    open_rows = state.filter("is_current").drop("valid_to", "is_current")
+    closed = state.filter(~F.col("is_current"))
+    touched = open_rows.join(first_change, "user_id").select(
+        "user_id", "value_c", "valid_from",
+        F.col("first_ts").alias("valid_to"), F.lit(False).alias("is_current"),
+    )
+    untouched = open_rows.join(first_change, "user_id", "left_anti").select(
+        "user_id", "value_c", "valid_from",
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(touched).unionByName(untouched).unionByName(dv)
+
+
+def scd2_incremental(spark, sf_dir) -> DataFrame:
+    """Split events at the midpoint timestamp, build the dimension on
+    the base half, merge the delta half as a CDC batch, and emit the
+    refreshed dimension — equal to the from-scratch window build (the
+    DuckDB oracle)."""
+    ev = load(spark, sf_dir, "events")
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = mn + (mx - mn) / 2
+    state = _scd2(ev.filter(F.col("ts") <= F.lit(mid))).localCheckpoint()
+    merged = scd2_merge(state, ev.filter(F.col("ts") > F.lit(mid)))
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return merged.select(
+        "user_id", "value_c",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"),
+    ).orderBy("user_id", "valid_from")
+
+
+SCD2_SQL = """
+SELECT user_id,
+       CAST(round(value * 100) AS BIGINT) AS value_c,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       CAST(lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL AS INT)
+           AS is_current
+FROM events ORDER BY user_id, valid_from
+"""
+
+
+QUERIES = {
+    "pipeline_mv_incremental": mv_incremental,
+    "pipeline_scd2_merge": scd2_incremental,
+}
+ORACLES = {
+    "pipeline_mv_incremental": MV_INCREMENTAL_SQL,
+    "pipeline_scd2_merge": SCD2_SQL,
+}

@@ -50,3 +50,60 @@ def salt_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))
     return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
+# --------------------------------------------------- driver-gated query
+# The salting story under the hash gate: a fact stream with a
+# deliberately hot key (~30% of all rows collapse onto key 0 — the
+# shape AQE's skew handling only fixes for sort-merge plans it can
+# see) joined to a per-key dimension THROUGH the salt path, then
+# re-aggregated. The DuckDB oracle runs the plain unsalted join — the
+# gate proves salting is a pure execution-layer rewrite with identical
+# results. The plan property (the join exchange hashes on
+# (key, _salt), spreading the hot key over n_salts reducers) is pinned
+# by tests/test_skew.py with broadcast disabled, the regime where
+# salting matters.
+
+_SKEW_SALTS = 8
+_FACT_SQL = (
+    "CASE WHEN event_id % 10 < 3 THEN 0 ELSE user_id END"
+)
+
+
+def skew_salted_join(spark, sf_dir) -> DataFrame:
+    from ..operators.common import load
+
+    ev = load(spark, sf_dir, "events")
+    fact = ev.select(
+        F.expr(_FACT_SQL).alias("k"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_c"),
+    )
+    dim = (
+        fact.select("k").distinct()
+        .withColumn("w", F.pmod("k", F.lit(7)) + 1)
+    )
+    return (
+        salt_join(fact, dim, "k", _SKEW_SALTS)
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v_c") * F.col("w")).alias("weighted_c"),
+        )
+        .orderBy("k")
+    )
+
+
+SKEW_SALTED_JOIN_SQL = f"""
+WITH fact AS (
+  SELECT {_FACT_SQL} AS k,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+),
+dim AS (SELECT DISTINCT k, k % 7 + 1 AS w FROM fact)
+SELECT k, count(*) AS n, CAST(sum(v_c * w) AS BIGINT) AS weighted_c
+FROM fact JOIN dim USING (k) GROUP BY k ORDER BY k
+"""
+
+
+QUERIES = {"pipeline_skew_salted_join": skew_salted_join}
+ORACLES = {"pipeline_skew_salted_join": SKEW_SALTED_JOIN_SQL}

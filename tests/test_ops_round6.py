@@ -76,3 +76,26 @@ def test_pagerank_integer_invariants(spark):
     # rank below the teleport-only floor while the other exceeds it;
     # weak sanity that mass actually flows
     assert max(r1.values()) > 150_000
+
+
+@pytest.mark.spark
+def test_scd2_merge_composes(spark):
+    """Two sequential CDC folds == one from-scratch build over all
+    three thirds — the property that lets the dimension absorb batches
+    forever (the driver gate covers the single 2-way split)."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, SF, "events")
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    t1 = mn + (mx - mn) / 3
+    t2 = mn + 2 * (mx - mn) / 3
+    state = incremental._scd2(ev.filter(F.col("ts") <= t1)).localCheckpoint()
+    state = incremental.scd2_merge(
+        state, ev.filter((F.col("ts") > t1) & (F.col("ts") <= t2))
+    ).localCheckpoint()
+    state = incremental.scd2_merge(state, ev.filter(F.col("ts") > t2))
+    direct = incremental._scd2(ev)
+    cols = ["user_id", "value_c", "valid_from", "valid_to", "is_current"]
+    got = sorted(tuple(r) for r in state.select(*cols).collect())
+    exp = sorted(tuple(r) for r in direct.select(*cols).collect())
+    assert got == exp

@@ -49,3 +49,38 @@ def test_skew_doc_output_correct(spark, weights):
     offs = [s["offset"] for s in row["spans"]]
     assert offs == list(range(len(offs)))
     assert len(offs) > 100  # 100 media spans, each ≥1 cell
+
+
+@pytest.mark.spark
+def test_salted_join_spreads_hot_key(spark):
+    """The salted plan must exchange the fact side on (k, _salt) — the
+    hot key lands on n_salts reducers, not one — in the no-broadcast
+    regime where salting matters; and the result must equal the plain
+    unsalted join."""
+    from table_recognition_spark.pipeline import skew
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = skew.skew_salted_join(spark, sf)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        assert "hashpartitioning(k" in plan and "_salt" in plan, plan[:2000]
+        got = [tuple(r) for r in df.collect()]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    exp = con.execute(skew.SKEW_SALTED_JOIN_SQL).fetchall()
+    assert got == [tuple(r) for r in exp]
+    # the hot key really is hot: ~30% of the fact on k=0
+    hot = dict((k, n) for k, n, _ in got)
+    assert hot[0] >= 0.25 * sum(hot.values())
