@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "gt_repair_rows",
     "layout_prune_stats",
     "layout_zorder_stats",
+    "layout_bucketed_join",
     "stream_events_sessions",
     "stream_attribution_join",
     "stream_dedup_first_seen",

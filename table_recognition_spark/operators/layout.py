@@ -322,11 +322,100 @@ def layout_zorder_stats_sql() -> str:
     """
 
 
+# ---------------------------------------------------- bucketed join
+# The third leg of the layout story: CO-LOCATED JOINS. Range/Z-order
+# clustering prunes scans; bucketing removes the join shuffle itself.
+# Writing both sides bucketed + sorted on the join key means every
+# future join on that key is a zipped per-bucket merge — no Exchange,
+# no Sort, at any scale. That is the difference between an ETL stack
+# that re-shuffles the fact table on every join and one that pays the
+# layout cost once at write time. The driver-gated query writes the
+# events fact and a per-user dimension bucketed by user_id, joins them
+# THROUGH the bucketed tables, and returns a per-user rollup equal to
+# the plain-join DuckDB oracle; the shuffle-free plan property
+# (no Exchange/Sort above either bucketed scan, with broadcast
+# disabled) is pinned by tests/test_ops_round6.py.
+
+_N_BUCKETS = 8
+
+
+def write_bucketed(df, name: str, key: str, n_buckets: int = _N_BUCKETS):
+    """Write ``df`` as a bucketed+sorted managed table — the layout
+    every subsequent equi-join on ``key`` reuses shuffle-free.
+
+    Drops any prior table AND its orphaned warehouse location first:
+    the default in-memory catalog forgets tables across sessions but
+    their directories persist, and saveAsTable refuses a managed
+    location it did not create (LOCATION_ALREADY_EXISTS)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def layout_bucketed_join(spark, sf_dir) -> DataFrame:
+    """Bucket events and a per-user dimension by user_id, join the
+    bucketed tables, and roll up: (user_id, n_events, value_c, n_days)
+    — value-equal to the plain join (the DuckDB oracle); the point is
+    the PLAN, which contains no join exchange."""
+    from .common import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_c"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    dim = ev.groupBy("user_id").agg(
+        F.countDistinct("day").alias("n_days")
+    )
+    write_bucketed(ev, "trs_fact_events", "user_id")
+    write_bucketed(dim, "trs_dim_users", "user_id")
+    fact_b = spark.table("trs_fact_events")
+    dim_b = spark.table("trs_dim_users")
+    return (
+        fact_b.join(dim_b, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v_c").alias("value_c"),
+            F.max("n_days").alias("n_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+WITH fact AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_c,
+         strftime(ts, '%Y-%m-%d') AS day
+  FROM events
+),
+dim AS (SELECT user_id, count(DISTINCT day) AS n_days FROM fact GROUP BY 1)
+SELECT f.user_id, count(*) AS n_events,
+       CAST(sum(f.v_c) AS BIGINT) AS value_c,
+       CAST(max(d.n_days) AS BIGINT) AS n_days
+FROM fact f JOIN dim d ON f.user_id = d.user_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "layout_prune_stats": layout_prune_stats,
     "layout_zorder_stats": layout_zorder_stats,
+    "layout_bucketed_join": layout_bucketed_join,
 }
 ORACLES = {
     "layout_prune_stats": layout_prune_stats_sql(),
     "layout_zorder_stats": layout_zorder_stats_sql(),
+    "layout_bucketed_join": BUCKETED_JOIN_SQL,
 }

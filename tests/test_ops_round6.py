@@ -99,3 +99,28 @@ def test_scd2_merge_composes(spark):
     got = sorted(tuple(r) for r in state.select(*cols).collect())
     exp = sorted(tuple(r) for r in direct.select(*cols).collect())
     assert got == exp
+
+
+@pytest.mark.spark
+def test_bucketed_join_is_shuffle_free(spark):
+    """The claim behind layout_bucketed_join: joining THROUGH the
+    bucketed tables plans ZERO exchanges (broadcast disabled — the
+    regime where the join shuffle would otherwise be unavoidable), and
+    the bucketed scan is actually used."""
+    import re
+
+    layout.layout_bucketed_join(spark, SF).collect()  # writes tables
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("trs_fact_events").join(
+            spark.table("trs_dim_users"), "user_id"
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 0, plan[:2000]
+    assert "SelectedBucketsCount" in plan
