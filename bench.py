@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "text_rolling_fingerprint",
     "text_dom_main_block",
     "text_sample_stratified",
+    "text_sample_weighted",
     "text_bm25_topk",
     "text_repetition_filter",
     "text_pii_scrub",

@@ -341,6 +341,58 @@ def sample_stratified_sql() -> str:
     """
 
 
+WEIGHTED_SAMPLE_K = 100
+_PRI_SCALE = 1_000_000
+
+
+def sample_weighted(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement — the other half of the
+    mixing toolbox next to :func:`sample_stratified`: keep a fixed-size
+    sample where a document's inclusion odds scale with its token count
+    (the priority-sampling shape of Duffield et al., "Priority sampling
+    for estimation of arbitrary subset sums").  Each document draws a
+    deterministic md5-derived 32-bit uniform and competes with priority
+    u/weight; the k smallest priorities win, so heavier documents
+    (smaller priorities) are proportionally favored.  Integer respec
+    for the cross-engine gate: priority = (h * 1e6) div weight as
+    BIGINT (h < 2^32, so the product stays under 2^52) — no float
+    division to disagree on.  Order-independent (a pure function of
+    each row), so re-runs and resumes pick the identical sample; at
+    scale the global top-k is a per-partition TakeOrdered plus a k-row
+    driver merge, no full sort, no shuffle of losers."""
+    from .common import load, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long").alias("h"),
+    ).select(
+        "doc_id", "n_tokens",
+        F.expr(f"(h * {_PRI_SCALE}) div greatest(n_tokens, 1)")
+        .cast("long").alias("priority"),
+    )
+    return staged.orderBy("priority", "doc_id").limit(WEIGHTED_SAMPLE_K)
+
+
+def sample_weighted_sql() -> str:
+    toks = tokens_sql("text")
+    return f"""
+    SELECT doc_id, n_tokens, (h * {_PRI_SCALE}) // greatest(n_tokens, 1)
+               AS priority
+    FROM (
+      SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 AS h
+      FROM documents
+    )
+    ORDER BY priority, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+    """
+
+
 # --- BM25-shaped retrieval ---------------------------------------------
 #
 # Inverted-index text retrieval: rank documents against a query-term
@@ -1382,6 +1434,7 @@ QUERIES = {
     "text_winnow_fingerprints": winnow_fingerprints,
     "text_dom_main_block": dom_main_block,
     "text_sample_stratified": sample_stratified,
+    "text_sample_weighted": sample_weighted,
     "text_bm25_topk": bm25_topk,
     "text_repetition_filter": repetition_filter,
     "text_pii_scrub": pii_scrub,
@@ -1401,6 +1454,7 @@ ORACLES = {
     "text_winnow_fingerprints": winnow_fingerprints_sql(),
     "text_dom_main_block": dom_main_block_sql(),
     "text_sample_stratified": sample_stratified_sql(),
+    "text_sample_weighted": sample_weighted_sql(),
     "text_bm25_topk": bm25_topk_sql(),
     "text_repetition_filter": repetition_filter_sql(),
     "text_pii_scrub": pii_scrub_sql(),

@@ -124,3 +124,23 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 0, plan[:2000]
     assert "SelectedBucketsCount" in plan
+
+
+@pytest.mark.spark
+def test_weighted_sample_favors_heavy_docs(spark):
+    """Priority sampling must overrepresent heavy documents: the
+    sample's mean token count exceeds the corpus mean (deterministic
+    on the fixed fixture), and re-runs pick the identical sample."""
+    from table_recognition_spark.operators.textstats import sample_weighted
+    from table_recognition_spark.operators.common import tokens
+
+    s1 = [tuple(r) for r in sample_weighted(spark, SF).collect()]
+    s2 = [tuple(r) for r in sample_weighted(spark, SF).collect()]
+    assert s1 == s2
+    sample_mean = sum(r[1] for r in s1) / len(s1)
+    corpus_mean = (
+        load(spark, SF, "documents")
+        .agg(F.avg(F.size(tokens(F.col("text")))))
+        .first()[0]
+    )
+    assert sample_mean > corpus_mean
