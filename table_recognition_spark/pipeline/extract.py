@@ -60,15 +60,34 @@ _WEIGHTS_CACHE: dict = {}
 # fresh broadcast a cache miss, re-paying ~0.6 s × workers per run.
 _G3_CACHE: dict = {}
 
-# driver-side broadcast cache: one torrent distribution of the artifact
-# per (SparkContext, weights-content) — repeated query invocations (and
-# bench repeats) reuse the live broadcast instead of re-shipping 59 MB.
+# driver-side broadcast cache: one torrent distribution per
+# (SparkContext, weights-content) — repeated query invocations (and
+# bench repeats) reuse the live broadcast instead of re-shipping the
+# artifact (59 MB for G3, 145 KB for G2 — the latter used to ride the
+# task closure, i.e. ~37 MB of per-task IPC at 256 kernel tasks).
 # Holds a ref to the weights dict so an id() key can't be recycled.
-_G3_BC_CACHE: dict = {}
+_BC_CACHE: dict = {}
+
+
+def _broadcast_weights(sc, wdict: dict):
+    """(broadcast, content-digest) for a weights dict, cached per
+    (SparkContext, dict identity) so repeated invocations reuse one
+    live broadcast and one serialization."""
+    key = (id(sc), id(wdict))
+    hit = _BC_CACHE.get(key)
+    if hit is None:
+        wbytes = weights_to_bytes(wdict)
+        digest = hashlib.md5(wbytes).hexdigest()
+        bc = sc.broadcast(wbytes)
+        _BC_CACHE[key] = (wdict, digest, bc)
+        return bc, digest
+    _ref, digest, bc = hit
+    return bc, digest
 
 
 def _kernel_fn(
-    weights_bytes: bytes,
+    weights_bc,
+    w_digest: str,
     strategy: str = "knn",
     model: str = "g2",
     g3_weights_bc=None,
@@ -83,9 +102,10 @@ def _kernel_fn(
     the dict materialization contended so badly it ran 3.7× SLOWER than
     at 8 workers — measured 6.7 s → 24.7 s for the same input.)
 
-    The closure ships the (small) weights artifact with the task binary —
-    broadcast once per executor by Spark — and memoizes the parsed arrays
-    in a module-level cache.
+    Both weights artifacts arrive via ``sparkContext.broadcast`` (one
+    copy per executor, fetched once) — never the task closure, which is
+    re-shipped to the Python worker on EVERY task — and the parsed
+    arrays are memoized in a module-level cache keyed by content digest.
     """
 
     def fn(batches):
@@ -93,11 +113,10 @@ def _kernel_fn(
         from ..oracle.extract import run_kernel_arrays
 
         limit_blas_threads(1)
-        key = hash(weights_bytes)
-        w = _WEIGHTS_CACHE.get(key)
+        w = _WEIGHTS_CACHE.get(w_digest)
         if w is None:
-            w = weights_from_bytes(weights_bytes)
-            _WEIGHTS_CACHE[key] = w
+            w = weights_from_bytes(weights_bc.value)
+            _WEIGHTS_CACHE[w_digest] = w
         vw = None
         if model == "visual":
             vw = _G3_CACHE.get(g3_digest)
@@ -216,6 +235,7 @@ def recognize_tables(
     strategy: str = "knn",
     model: str = "g2",
     g3_weights: dict | None = None,
+    n_rows_bound: int | None = None,
 ) -> DataFrame:
     """Distinct media rows → (media_ref, cell_idx, text) via the GNN kernel.
 
@@ -234,11 +254,20 @@ def recognize_tables(
         # 8× cores: per-image kernel cost varies ~3× with image size, so
         # exactly-#cores partitions leave a straggler tail (measured 84%
         # CPU utilization at 16 cores with 4×); finer tasks let the
-        # scheduler level the tail, and mapInArrow tasks reuse warm
-        # python workers so the extra task overhead is negligible
+        # scheduler level the tail. The 8× target is additionally capped
+        # by the input ROW COUNT when the caller supplies the bound
+        # (n_rows_bound): every mapInArrow task pays a fixed Python
+        # boundary cost (~8 ms — worker handshake + per-task closure
+        # ship), so tasks beyond one-row-each are pure overhead — the
+        # r7 profile measured the 24-image flagship kernel at 2.30 s
+        # with 256 tasks vs 0.39 s with 24 (identity function: 2.29 s,
+        # i.e. all boundary). At scale the bound exceeds 8× cores and
+        # behavior is unchanged.
         kernel_partitions = (
             media_df.sparkSession.sparkContext.defaultParallelism * 8
         )
+        if n_rows_bound is not None:
+            kernel_partitions = max(1, min(kernel_partitions, n_rows_bound))
     if kernel_partitions:
         # round-robin, NOT hash-by-ref: each input row is one complete
         # media (ref + all its ocr lines), so the kernel needs no key
@@ -247,30 +276,16 @@ def recognize_tables(
         # images in one task = a 2× tail) where round-robin balances
         # exactly
         cols = cols.repartition(kernel_partitions)
+    sc = media_df.sparkSession.sparkContext
     g3_bc, g3_digest = None, None
     if model == "visual":
         from ..core import visual
 
         g3 = g3_weights if g3_weights is not None else visual.default_weights()
-        # ~55 MB of float32 params: a sparkContext.broadcast (torrent
-        # distribution, one copy per executor) — NOT the task closure,
-        # which would re-ship it with every stage's task binary. Cached
-        # per (SparkContext, weights dict): repeated invocations of the
-        # visual query reuse one live broadcast + one serialization
-        # instead of re-shipping 59 MB per run.
-        sc = media_df.sparkSession.sparkContext
-        bc_key = (id(sc), id(g3))
-        hit = _G3_BC_CACHE.get(bc_key)
-        if hit is None:
-            g3_bytes = weights_to_bytes(g3)
-            g3_digest = hashlib.md5(g3_bytes).hexdigest()
-            g3_bc = sc.broadcast(g3_bytes)
-            _G3_BC_CACHE[bc_key] = (g3, g3_digest, g3_bc)
-        else:
-            _g3_ref, g3_digest, g3_bc = hit
+        g3_bc, g3_digest = _broadcast_weights(sc, g3)
+    w_bc, w_digest = _broadcast_weights(sc, weights)
     return cols.mapInArrow(
-        _kernel_fn(weights_to_bytes(weights), strategy, model, g3_bc,
-                   g3_digest),
+        _kernel_fn(w_bc, w_digest, strategy, model, g3_bc, g3_digest),
         schema=CELLS_SCHEMA,
     )
 
@@ -327,8 +342,20 @@ def _all_spans(
     if model == "visual":
         media_cols.append("image")
     kernel_input = refs.join(media_df.select(*media_cols), "media_ref")
+    # scale-adaptive kernel task count: the media table's row count is a
+    # cheap upper bound on |distinct refs| (a metadata-fast parquet
+    # count for every call site), so a small media corpus never fans
+    # out into hundreds of near-empty Python-boundary tasks while a
+    # large one keeps the full 8×cores straggler-leveling fan-out
+    n_bound = None
+    if kernel_partitions is None:
+        try:
+            n_bound = media_df.count()
+        except Exception:
+            n_bound = None
     cells = recognize_tables(
-        kernel_input, weights, kernel_partitions, strategy, model, g3_weights
+        kernel_input, weights, kernel_partitions, strategy, model, g3_weights,
+        n_rows_bound=n_bound,
     )
     if broadcast_cells:
         cells = F.broadcast(cells)
