@@ -138,26 +138,131 @@ def word_vocab(docs: DataFrame) -> DataFrame:
     )
 
 
-def learn_merges(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+# per-task row target for the merge loop's vocab/pair relations: the
+# loop's rows are ~200 B (word + symbol array + signature), so 50k rows
+# ≈ 10 MB per task — small enough that the per-round UDF pass stays
+# parallel once the vocab is big, large enough that a fixture-sized
+# vocab (31 distinct words at sf0.1) runs every round single-task
+# instead of paying 32 near-empty tasks per stage per round (measured
+# r7: the 12-round loop dropped 7.4 s → ~2 s at sf0.1; at |V| ~ 1e8
+# this yields ~2000 tasks, within the 8×cores fan-out the kernel uses)
+LOOP_ROWS_PER_TASK = 50_000
+
+# Driver-local learning threshold: below this many DISTINCT WORDS the
+# merge loop runs on the driver over the collected (word, count) table
+# instead of as n_merges sequential Spark jobs. Bound: 100k words ×
+# ~30 B ≈ 3 MB across the driver — the same capped-materialization
+# pattern as similarity.py's IVF quantizer sample and dedup.py's
+# RECALL_SAMPLE_CAP, with the bound pinned by tests/test_bpe.py
+# (local ≡ distributed on the same corpus). The corpus-sized work
+# (tokenize → explode → groupBy) is distributed EITHER way; only the
+# post-aggregation learning — O(|V|) rows, every round a 1-row argmax —
+# moves, trading n_merges driver-round-trip jobs (~0.45 s each at
+# sf0.1, all scheduling/planning overhead on a 31-word vocab) for a
+# single bounded collect. Above the cap the incremental-delta
+# distributed loop runs unchanged.
+BPE_LOCAL_VOCAB_CAP = 100_000
+
+
+def _learn_merges_local(word_counts, n_merges: int):
+    """Driver-side BPE learner over a bounded (word, count) table —
+    result-identical to the distributed loop (argmax by count desc then
+    pair lexicographic; greedy left-to-right merge), with the same
+    incremental pair-delta maintenance. Pinned against the distributed
+    path and the from-scratch mirror by tests/test_bpe.py."""
+    import collections
+
+    syms = []
+    cnts = []
+    pairs: collections.Counter = collections.Counter()
+    where: dict = {}  # pair -> set of word indexes (may hold stale entries)
+    for w, c in word_counts:
+        s = list(w) + [EOW]
+        i = len(syms)
+        syms.append(s)
+        cnts.append(c)
+        for p in zip(s, s[1:]):
+            pairs[p] += c
+            where.setdefault(p, set()).add(i)
+    rows = []
+    for rank in range(n_merges):
+        live = [(p, c) for p, c in pairs.items() if c > 0]
+        if not live:
+            break
+        (a, b), c = min(live, key=lambda kv: (-kv[1], kv[0]))
+        rows.append((rank, a, b, a + b, int(c)))
+        ab = a + b
+        for wi in sorted(where.get((a, b), ())):
+            s = syms[wi]
+            out = []
+            i, n = 0, len(s)
+            while i < n:
+                if i + 1 < n and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            if len(out) == n:
+                continue  # stale index entry: pair no longer occurs
+            d = collections.Counter(zip(out, out[1:]))
+            d.subtract(collections.Counter(zip(s, s[1:])))
+            wc = cnts[wi]
+            for p, dv in d.items():
+                if dv:
+                    pairs[p] += dv * wc
+                    if dv > 0:
+                        where.setdefault(p, set()).add(wi)
+            syms[wi] = out
+    return rows
+
+
+def learn_merges(
+    docs: DataFrame,
+    n_merges: int = N_MERGES,
+    local_vocab_cap: int = BPE_LOCAL_VOCAB_CAP,
+) -> DataFrame:
     """The learned merge table: (rank, left, right, merged, pair_count),
     rank order — deterministic given the corpus and tokenizer."""
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
     # the one corpus-sized pass runs under the session's AQE settings
     vocab = word_vocab(docs).localCheckpoint()
+    # scale-adaptive loop parallelism: every round's relations are
+    # bounded by |V| (vocab) and |distinct symbol pairs| (≤ vocab
+    # pairs), both known to be tiny relative to the corpus — size the
+    # loop's partitioning from the MEASURED vocab count (the checkpoint
+    # is already materialized, so this count is a cached-RDD scan, not
+    # a recompute), never from the cluster width alone
+    n_vocab = vocab.count()
+    if n_vocab <= local_vocab_cap:
+        wc = [(r["w"], int(r["cnt"]))
+              for r in vocab.select("w", "cnt").collect()]
+        # iteration order does not affect the result (the argmax
+        # tie-break is total), but sort for a stable index anyway
+        wc.sort()
+        return spark.createDataFrame(
+            _learn_merges_local(wc, n_merges), MERGE_SCHEMA
+        )
+    loop_par = max(1, min((n_vocab + LOOP_ROWS_PER_TASK - 1)
+                          // LOOP_ROWS_PER_TASK, par * 4))
     # AQE off for the merge loop: under AQE, a lazy localCheckpoint of
     # a plan containing an exchange is not lazy — AdaptiveSparkPlanExec
     # materializes its shuffle stages at toRdd time, so every round
     # would pay an extra eager job plus per-stage re-planning.  The
     # loop's shuffles are over the standing pair table (|distinct
     # symbol pairs|, orders of magnitude below the corpus), where fixed
-    # hash partitioning is the right plan anyway.
+    # hash partitioning is the right plan anyway — at loop_par
+    # partitions, not the session's corpus-sized default.
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_par))
     try:
-        return _merge_loop(spark, vocab, n_merges, par)
+        return _merge_loop(spark, vocab, n_merges, loop_par)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _merge_loop(spark, vocab, n_merges: int, par: int) -> DataFrame:
