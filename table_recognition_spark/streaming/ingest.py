@@ -18,6 +18,8 @@ These streams exist for continuous ingestion of new document partitions:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -195,18 +197,32 @@ def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _sentinel(10, os.path.join(src, "e1.parquet"))
     name = "sessions_smoke_" + uuid.uuid4().hex[:8]
+    ckpt = _ephemeral_checkpoint_dir(name)
     # the fixture stream carries thousands of rows through a stateful
     # exchange sized for batch analytics — 8 state partitions keep the
     # two micro-batches from being pure task-scheduling overhead (a
     # production deployment sizes this to its key cardinality instead)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # No trailing no-data batch needed (round-7): every REAL session is
+    # emitted in the second data batch — after batch 1 (events +
+    # sentinel #1) the watermark already stands at max_ts + 10 d, so
+    # batch 2 (sentinel #2, a data batch) flushes every real session;
+    # the only thing a no-data batch 3 could emit is the sentinel #1
+    # session itself (user_id = -1, filtered below). Saves a full
+    # state-load/commit cycle over every partition.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                   "false")
     try:
         q = (
             stream_sessions(spark, src)
             .writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
+            .option("checkpointLocation", ckpt)
             .start()
         )
         q.processAllAvailable()
@@ -215,6 +231,14 @@ def stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
+        shutil.rmtree(ckpt, ignore_errors=True)
+        # the staged source is consumed once the drive completes (the
+        # memory sink holds the result); every invocation used to leak
+        # a full copy of events.parquet to /tmp
+        shutil.rmtree(src, ignore_errors=True)
     # (user_id, session_start) is a unique sort key: two sessions of
     # one user are by construction > gap apart
     return (
@@ -385,6 +409,25 @@ def _stage_two_batches(df: DataFrame, sort_cols) -> str:
     return src
 
 
+def _ephemeral_checkpoint_dir(name: str) -> str:
+    """Checkpoint dir for a bounded test drive: tmpfs when available
+    (same rationale as session.py's spark.local.dir — the state store
+    writes many small delta/snapshot files per batch plus the
+    offset/commit WAL, and this sandbox's disk stalls under small-file
+    fsync traffic; measured ~0.3-0.5 s per two-batch drive), else the
+    system tmpdir. The caller removes it when the drive completes; a
+    production stream points this at durable storage instead."""
+    import tempfile
+
+    base = (
+        "/dev/shm/trs_stream_ckpt"
+        if os.path.isdir("/dev/shm")
+        else tempfile.gettempdir()
+    )
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, name)
+
+
 def _drive_two_batch_stream(spark, builder, src, schema, mode: str):
     """Run ``builder(stream_df)`` over the staged two-file source to
     completion; returns the memory-sink table as a DataFrame."""
@@ -392,10 +435,26 @@ def _drive_two_batch_stream(spark, builder, src, schema, mode: str):
     import uuid
 
     name = "stream_gate_" + uuid.uuid4().hex[:8]
+    ckpt = _ephemeral_checkpoint_dir(name)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
     # fixture-sized state: 8 partitions keep two micro-batches from
     # being pure task scheduling (production sizes to key cardinality)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # Skip the trailing no-data micro-batch (round-7): it exists to run
+    # event-time timeouts and watermark-driven final emissions, and
+    # every operator driven through this helper emits ONLY in data
+    # batches — the stream-stream inner join emits matches as found
+    # (append), the applyInPandasWithState operators use
+    # GroupStateTimeout.NoTimeout, and the update-mode aggregations
+    # re-emit touched keys per data batch. The empty batch still paid a
+    # full state-store load/commit cycle across every partition
+    # (measured 1.4 s of the 4 s drive). A production continuous stream
+    # keeps the default on.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                   "false")
     try:
         ev = (
             spark.readStream.schema(schema)
@@ -408,13 +467,18 @@ def _drive_two_batch_stream(spark, builder, src, schema, mode: str):
             .writeStream.outputMode(mode)
             .format("memory")
             .queryName(name)
+            .option("checkpointLocation", ckpt)
             .start()
         )
         q.processAllAvailable()
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
         shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
