@@ -918,8 +918,42 @@ def _local_cc_mapping(edges_df):
     return edges_df.mapInPandas(fn, "label long, root long")
 
 
+# Driver-local CC threshold (round-7): below this many EDGES the
+# component labeling runs as one bounded collect + union-find on the
+# driver (200k pairs × 16 B ≈ 3 MB) instead of iterated contraction
+# rounds whose per-round fixed cost (translate joins + Arrow contraction
+# + checkpoint, ~0.4 s each) dwarfs fixture-sized inputs — the same
+# capped-materialization pattern as BPE_LOCAL_VOCAB_CAP and
+# RECALL_SAMPLE_CAP. Above the cap the distributed loop runs unchanged;
+# equality of the two paths is pinned by tests/test_connected_components.
+CC_LOCAL_PAIRS_CAP = 200_000
+
+
+def _cc_local(edge_rows):
+    """Driver-side union-find: (u, v) rows → {node: component min}."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edge_rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # attach the larger root under the smaller: every root is
+            # its component's running min, so the fixpoint label IS the
+            # component min — identical to the distributed loop
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
 def connected_components(pairs, src: str = "doc_a", dst: str = "doc_b",
-                         max_rounds: int = 50):
+                         max_rounds: int = 50,
+                         local_pairs_cap: int = CC_LOCAL_PAIRS_CAP):
     """Distributed connected components over an undirected edge list →
     (doc_id, group_id = component min). The step that turns pairwise
     near-dup detection into a keep-one-per-cluster dedup decision;
@@ -957,6 +991,15 @@ def connected_components(pairs, src: str = "doc_a", dst: str = "doc_b",
     # materialize the pair set ONCE: it feeds the vertex set and every
     # round's translation join
     pairs = pairs.select(src, dst).localCheckpoint()
+    # bounded-input fast path: the checkpoint is materialized, so this
+    # count is a cached-RDD scan, not a recompute
+    if pairs.count() <= local_pairs_cap:
+        comp = _cc_local(
+            (int(r[0]), int(r[1])) for r in pairs.collect()
+        )
+        return spark.createDataFrame(
+            sorted(comp.items()), "doc_id long, group_id long"
+        )
     # Seed contraction folded into the label-table build (round-6): the
     # first loop round used to spend its full translate-contract-apply
     # cycle discovering what a partition-local union-find over the raw

@@ -30,7 +30,7 @@ def _reference_components(edges):
     return {x: find(x) for x in parent}
 
 
-def _run(spark, edges):
+def _run(spark, edges, cap=None):
     import pandas as pd
 
     from table_recognition_spark.operators.dedup import connected_components
@@ -38,16 +38,20 @@ def _run(spark, edges):
     df = spark.createDataFrame(
         pd.DataFrame(edges, columns=["doc_a", "doc_b"]).astype("int64")
     )
+    kw = {} if cap is None else {"local_pairs_cap": cap}
     return {
         r["doc_id"]: r["group_id"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, **kw).collect()
     }
 
 
 @pytest.mark.spark
-def test_long_chain(spark):
+@pytest.mark.parametrize("cap", [None, 0])
+def test_long_chain(spark, cap):
+    # cap=0 forces the distributed contraction loop (the round-7
+    # driver-local fast path must never silently replace its coverage)
     edges = [(i, i + 1) for i in range(400)]
-    got = _run(spark, edges)
+    got = _run(spark, edges, cap)
     assert got == {i: 0 for i in range(401)}
 
 
@@ -65,6 +69,18 @@ def test_star_and_cliques(spark):
 
 
 @pytest.mark.spark
+def test_star_and_cliques_distributed_path(spark):
+    edges = [(0, i) for i in range(1, 50)]
+    edges += [
+        (100 * k + a, 100 * k + b)
+        for k in range(1, 5)
+        for a in range(5)
+        for b in range(a + 1, 5)
+    ]
+    assert _run(spark, edges, cap=0) == _reference_components(edges)
+
+
+@pytest.mark.spark
 def test_random_graph_matches_union_find(spark):
     rng = np.random.default_rng(77)
     edges = [
@@ -74,3 +90,14 @@ def test_random_graph_matches_union_find(spark):
     ]
     got = _run(spark, edges)
     assert got == _reference_components(edges)
+
+
+@pytest.mark.spark
+def test_local_path_equals_distributed_loop(spark):
+    rng = np.random.default_rng(13)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 200, (300, 2))
+        if a != b
+    ]
+    assert _run(spark, edges) == _run(spark, edges, cap=0)
