@@ -1146,23 +1146,29 @@ def lang_id_ngram(spark, sf_dir, k: int = LANGID_K):
     score asc, lang asc) and every score is an integer, so the DuckDB
     oracle matches exactly.
 
-    Scale shape (round-6 rewrite — formerly a corpus-wide trigram
-    explode shuffled by doc, the suite's priciest text query): two
-    MAP-ONLY Arrow passes over the corpus. Pass 1 emits batch-partial
+    Scale shape (round-6 rewrite, round-7 tail fold): two MAP-ONLY
+    Arrow passes over the corpus, each fanned out to the cluster width
+    first (the single-file fixture parquet otherwise scans as ONE input
+    partition and both kernels run serially — the same repartition
+    rationale as _shingle_df). Pass 1 emits batch-partial
     (lang, trigram) counts from inside the pandas kernel, so the only
     corpus-wide exchange is an aggregation whose key cardinality is
-    bounded by langs × trigram alphabet, not the corpus. Pass 2 emits
-    each document's top-k profile directly (k rows per doc, true lang
-    carried along — no join back), map-only. Scoring joins the
-    broadcast profiles and reduces by doc; the per-doc argmin is a
-    lexicographic struct-min aggregation, not a window sort. The
+    bounded by langs × trigram alphabet, not the corpus; the finished
+    language profiles (langs × k rows — a bounded driver table like
+    BM25's query set) are collected and shipped INTO pass 2, which
+    classifies each document directly (count trigrams → top-k →
+    out-of-place score per lang → argmin) and emits one
+    (true_lang, pred_lang) row per doc — the former
+    crossJoin/broadcast-join/double-aggregate scoring tail collapses
+    into the same kernel that already held every needed count. The
     normalized text is computed JVM-side (same expression both
     engines); the Python kernel only counts substrings of it."""
     import pandas as pd
     from pyspark.sql import Window
 
+    P = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents")
-    base = docs.select(
+    base = docs.repartition(P).select(
         "doc_id", "lang", norm_text(F.col("text")).alias("norm")
     )
 
@@ -1191,59 +1197,52 @@ def lang_id_ngram(spark, sf_dir, k: int = LANGID_K):
     lang_w = Window.partitionBy("lang").orderBy(
         F.desc("cnt"), F.asc("tg")
     )
-    lang_prof = (
+    # bounded driver materialization: langs × k rows (≤ a few hundred)
+    prof_rows = (
         lang_rows.groupBy("lang", "tg")
         .agg(F.sum("cnt").alias("cnt"))
         .withColumn("lrank", F.row_number().over(lang_w))
         .filter(F.col("lrank") <= k)
         .select("lang", "tg", "lrank")
+        .collect()
     )
+    profiles: dict = {}
+    for r in prof_rows:
+        profiles.setdefault(r["lang"], {})[r["tg"]] = r["lrank"]
+    # every labeled language is a scoring candidate even when it has no
+    # profile rows (all-empty docs): absent trigrams score k, as before
+    langs = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    )
+    lang_profiles = [(lang, profiles.get(lang, {})) for lang in langs]
 
-    def doc_topk(batches):
+    def classify(batches):
         from collections import Counter
 
         for pdf in batches:
-            out: dict = {"doc_id": [], "true_lang": [], "tg": [],
-                         "drank": []}
-            for doc_id, lang, s in zip(
-                pdf["doc_id"], pdf["lang"], pdf["norm"]
-            ):
+            out = {"true_lang": [], "pred_lang": []}
+            for lang, s in zip(pdf["lang"], pdf["norm"]):
                 c = Counter(s[i:i + 3] for i in range(len(s) - 2))
+                if not c:
+                    continue  # no trigrams: the doc scores nothing
                 # (count desc, trigram asc) — ASCII corpus, so Python's
                 # string order == Spark/DuckDB binary string order
                 top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-                for r, (tg, _) in enumerate(top, start=1):
-                    out["doc_id"].append(int(doc_id))
-                    out["true_lang"].append(lang)
-                    out["tg"].append(tg)
-                    out["drank"].append(r)
-            if out["doc_id"]:
+                best = None
+                for cand, prof in lang_profiles:
+                    score = 0
+                    for pos, (tg, _) in enumerate(top, start=1):
+                        lr = prof.get(tg)
+                        score += abs(pos - lr) if lr is not None else k
+                    if best is None or (score, cand) < best:
+                        best = (score, cand)
+                out["true_lang"].append(lang)
+                out["pred_lang"].append(best[1])
+            if out["true_lang"]:
                 yield pd.DataFrame(out)
 
-    doc_prof = base.mapInPandas(
-        doc_topk, "doc_id long, true_lang string, tg string, drank int"
-    )
-
-    langs = docs.select("lang").distinct()
-    scored = (
-        doc_prof.crossJoin(F.broadcast(langs))
-        .join(F.broadcast(lang_prof), ["lang", "tg"], "left")
-        .groupBy("doc_id", "true_lang", "lang")
-        .agg(
-            F.sum(
-                F.coalesce(
-                    F.abs(F.col("drank") - F.col("lrank")),
-                    F.lit(k),
-                ).cast("long")
-            ).alias("score")
-        )
-    )
-    # argmin via lexicographic struct-min: min(score, lang) == the old
-    # row_number-over-(score asc, lang asc) winner, without a window sort
-    pred = (
-        scored.groupBy("doc_id", "true_lang")
-        .agg(F.min(F.struct("score", "lang")).alias("m"))
-        .select("true_lang", F.col("m.lang").alias("pred_lang"))
+    pred = base.select("lang", "norm").mapInPandas(
+        classify, "true_lang string, pred_lang string"
     )
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count("*").alias("n_docs")

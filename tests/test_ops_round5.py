@@ -171,15 +171,20 @@ def test_lang_id_planted_languages(spark, tmp_path):
 
 @pytest.mark.spark
 def test_lang_id_no_cartesian_no_udf(spark):
-    """The scoring join must broadcast the tiny profile tables (the only
-    cross join is doc-profile x the handful of languages) and the whole
-    operator stays JVM-side: no BatchEvalPython anywhere in the plan."""
+    """Round-7 shape: the collected language profiles ride inside the
+    classify kernel, so the final plan is one map-only Arrow pass plus
+    the confusion-matrix aggregation — no joins at all, no per-row
+    BatchEvalPython, and at most the single groupBy exchange."""
+    import re
+
     from table_recognition_spark.operators.textstats import lang_id_ngram
 
     p = _formatted_plan(lang_id_ngram(spark, SF))
     assert "BatchEvalPython" not in p
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+    assert "Join" not in p, p[:1500]
+    # repartition fan-out + the confusion groupBy: nothing else shuffles
+    assert len(re.findall(r"\n\(\d+\) Exchange", p)) <= 2, p[:1500]
 
 
 @pytest.mark.spark
