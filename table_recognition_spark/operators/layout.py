@@ -127,19 +127,26 @@ def layout_prune_stats(spark, sf_dir) -> DataFrame:
     bucket = F.expr(
         f"least({b - 1}, ((event_id - {mn}) * {b}) div {span})"
     )
+    import shutil
+
     out_dir = tempfile.mkdtemp(prefix="trs_layout_")
-    (
-        ev.withColumn("bucket", bucket)
-        .repartition(b, "bucket")  # each bucket lands whole in one task
-        .sortWithinPartitions("event_id")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(out_dir)
-    )
-    stats = rowgroup_prune_stats(out_dir, "event_id", lo, hi)
-    rows_selected = ev.filter(
-        (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
-    ).count()
+    try:
+        (
+            ev.withColumn("bucket", bucket)
+            .repartition(b, "bucket")  # each bucket lands whole in one task
+            .sortWithinPartitions("event_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out_dir)
+        )
+        stats = rowgroup_prune_stats(out_dir, "event_id", lo, hi)
+        rows_selected = ev.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+        ).count()
+    finally:
+        # the stats are scalars once collected; every invocation used
+        # to leak a full clustered copy of events to /tmp (ADVICE r6)
+        shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(
         [
             (
@@ -244,23 +251,30 @@ def layout_zorder_stats(spark, sf_dir) -> DataFrame:
     loe, hie = int(mne) + span_e // 4, int(mne) + (span_e * 7) // 16
     rank_u = f"((user_id - {mnu}) * {1 << _Z_BITS}) div {span_u}"
     rank_e = f"((event_id - {mne}) * {1 << _Z_BITS}) div {span_e}"
+    import shutil
+
     out_dir = tempfile.mkdtemp(prefix="trs_zorder_")
-    (
-        ev.withColumn("rx", F.expr(rank_u))
-        .withColumn("ry", F.expr(rank_e))
-        .withColumn("z", F.expr(_z_terms("rx", "ry", "fn")))
-        .withColumn("bucket", F.expr(f"z div {1 << (2 * _Z_BITS - 3)}"))
-        .drop("rx", "ry")
-        .repartition(_ZB, "bucket")  # each bucket lands whole in one task
-        .sortWithinPartitions("z")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(out_dir)
-    )
-    st_u = rowgroup_prune_stats(out_dir, "user_id", lou, hiu)
-    st_e = rowgroup_prune_stats(out_dir, "event_id", loe, hie)
-    sel_u = ev.filter(F.col("user_id").between(lou, hiu)).count()
-    sel_e = ev.filter(F.col("event_id").between(loe, hie)).count()
+    try:
+        (
+            ev.withColumn("rx", F.expr(rank_u))
+            .withColumn("ry", F.expr(rank_e))
+            .withColumn("z", F.expr(_z_terms("rx", "ry", "fn")))
+            .withColumn("bucket", F.expr(f"z div {1 << (2 * _Z_BITS - 3)}"))
+            .drop("rx", "ry")
+            .repartition(_ZB, "bucket")  # each bucket lands whole in one task
+            .sortWithinPartitions("z")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out_dir)
+        )
+        st_u = rowgroup_prune_stats(out_dir, "user_id", lou, hiu)
+        st_e = rowgroup_prune_stats(out_dir, "event_id", loe, hie)
+        sel_u = ev.filter(F.col("user_id").between(lou, hiu)).count()
+        sel_e = ev.filter(F.col("event_id").between(loe, hie)).count()
+    finally:
+        # scalars once collected; this used to leak a full z-ordered
+        # copy of events per invocation (ADVICE r6)
+        shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(
         [
             (
@@ -347,13 +361,18 @@ def write_bucketed(df, name: str, key: str, n_buckets: int = _N_BUCKETS):
     the default in-memory catalog forgets tables across sessions but
     their directories persist, and saveAsTable refuses a managed
     location it did not create (LOCATION_ALREADY_EXISTS)."""
+    import os
     import shutil
     from urllib.parse import urlparse
 
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+    # resolve to an absolute path: a relative warehouse dir would make
+    # the rmtree depend on the caller's cwd (ADVICE r6)
+    wh = os.path.abspath(
+        urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    )
+    shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, key)

@@ -589,15 +589,23 @@ def _stream_dedup_sql() -> str:
 def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated drive of the ``applyInPandasWithState`` running
     per-user totals: two micro-batches of events, final state per user
-    = the batch aggregate. Both emitted columns are strictly increasing
-    per user across batches (every event adds ≥1 cent), so the final
-    row is max() of the update-mode emissions — no window needed."""
+    = the batch aggregate. n_events is strictly increasing per user
+    across batches and value_c is NON-DECREASING (round(value*100) can
+    be 0; the fixture plants no negative values — asserted below so a
+    future fixture can't silently corrupt the max()-reconstruction),
+    so the final row is max() of the update-mode emissions — no window
+    needed (ADVICE r6)."""
     from ..operators.common import load
     from .stateful import running_user_totals
 
-    src = _stage_two_batches(
-        load(spark, sf_dir, "events"), ["ts", "event_id"]
+    ev = load(spark, sf_dir, "events")
+    # guard for the max()-reconstruction above: a negative value would
+    # make value_c non-monotone across batches and silently corrupt the
+    # gate instead of failing it
+    assert ev.filter(F.col("value") < 0).isEmpty(), (
+        "stream_user_totals requires non-negative event values"
     )
+    src = _stage_two_batches(ev, ["ts", "event_id"])
     out = _drive_two_batch_stream(
         spark, running_user_totals, src, _EVENTS_SCHEMA, "update"
     )
