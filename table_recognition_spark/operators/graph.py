@@ -58,7 +58,11 @@ def copurchase_edges(li: DataFrame, partitions: int | None = None) -> DataFrame:
 
     if partitions is None:
         partitions = li.sparkSession.sparkContext.defaultParallelism
-    per_order = li.groupBy("l_orderkey").agg(
+    # fan the line table out before the per-order aggregation: the
+    # testdata parquet is one file / one row group, so the scan (and
+    # the partial collect_set over 600k rows) would otherwise run as a
+    # single task (same rationale as _shingle_df's repartition)
+    per_order = li.repartition(partitions).groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("parts")
     )
     pairs = (

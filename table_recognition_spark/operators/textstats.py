@@ -1328,8 +1328,14 @@ def lm_surprisal(spark, sf_dir):
     the bigram-count join shuffles on (w1, w2)."""
     docs = load(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
+    P = spark.sparkContext.defaultParallelism
     bgc = (
-        docs.select("doc_id", toks.alias("toks"))
+        # fan out before the tokenize + bigram explode: the single-file
+        # fixture parquet scans as ONE task, which would run the whole
+        # regex/explode/partial-agg chain serially (the _shingle_df
+        # pattern; round-7)
+        docs.repartition(P)
+        .select("doc_id", toks.alias("toks"))
         .where(F.size("toks") >= 2)
         .select(
             "doc_id",
