@@ -1255,11 +1255,15 @@ def dedup_substring_spans(spark, sf_dir, w: int = SUBSTR_W):
     cross-engine).
 
     Scale shape: the duplicate test per shingle hash is
-    ``min(doc_id) != max(doc_id)`` — constant state per key with
-    map-side partials, so a pathologically common shingle can't blow up
-    an executor the way collecting doc lists would. The two shuffles key
-    by shingle hash (agg + back-join); span merging is one narrow
-    per-doc window over only the duplicated positions."""
+    ``min(doc_id) != max(doc_id)`` over a window partitioned by the
+    hash — constant state per key, ONE exchange on the hash (round-7:
+    the former groupBy + back-join shape shuffled the occurrence table
+    twice and re-derived the tokenizer chain for both the second join
+    input and the per-doc token counts; n_tokens now rides the
+    occurrence rows instead). Span merging is one narrow per-doc window
+    over only the duplicated positions; the downstream span/doc
+    aggregations reuse the doc window's hashpartitioning(doc_id), so
+    the whole tail runs without further exchanges."""
     P = spark.sparkContext.defaultParallelism
     docs = _with_planted_dups(load(spark, sf_dir, "documents"))
     toks_df = docs.select(
@@ -1273,19 +1277,20 @@ def dedup_substring_spans(spark, sf_dir, w: int = SUBSTR_W):
             lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, w))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    doc_n = toks_df.select("doc_id", n.cast("long").alias("n_tokens"))
     occ = toks_df.select(
-        "doc_id", F.posexplode(hashes).alias("pos0", "h")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
-    dup_h = (
-        occ.groupBy("h")
-        .agg(F.min("doc_id").alias("a"), F.max("doc_id").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select("h")
-    )
-    dup_occ = occ.join(dup_h, "h").select("doc_id", "pos")
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.posexplode(hashes).alias("pos0", "h"),
+    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "h")
     from pyspark.sql import Window
 
+    wh = Window.partitionBy("h")
+    dup_occ = (
+        occ.withColumn("mn", F.min("doc_id").over(wh))
+        .withColumn("mx", F.max("doc_id").over(wh))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "n_tokens", "pos")
+    )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     flagged = dup_occ.withColumn(
         "f",
@@ -1299,13 +1304,16 @@ def dedup_substring_spans(spark, sf_dir, w: int = SUBSTR_W):
         F.sum("f").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
     )
     spans = flagged.groupBy("doc_id", "span_id").agg(
-        F.min("pos").alias("p0"), F.max("pos").alias("p1")
+        F.min("pos").alias("p0"),
+        F.max("pos").alias("p1"),
+        F.first("n_tokens").alias("n_tokens"),
     )
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("p1") - F.col("p0") + w).cast("long").alias("dup_tokens"),
+        F.first("n_tokens").alias("n_tokens"),
     )
-    return per_doc.join(doc_n, "doc_id").select(
+    return per_doc.select(
         "doc_id",
         "n_tokens",
         "n_dup_spans",
