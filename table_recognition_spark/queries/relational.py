@@ -879,32 +879,38 @@ def q21_waiting_supplier(spark, sf_dir, k: int = 20):
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .where(
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-        )
-        .select("l_orderkey", "l_suppkey")
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    )
-    l3 = late.select(
-        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    # Round-7 rework: the EXISTS / NOT-EXISTS legs used to be a
+    # left-semi + left-anti self-join pair over the (late) line table —
+    # two more shuffles of lineitem-scale data. Both predicates are
+    # per-ORDER facts a single window computes from the join output,
+    # whose partitioning (l_orderkey) the window reuses with no further
+    # exchange:
+    #   EXISTS another supplier on the order      ⟺ |suppliers(order)| ≥ 2
+    #   NOT EXISTS another LATE supplier          ⟺ |late_suppliers(order)| = 1
+    # (l1 itself is late, so its supplier is in the late set; "another
+    # late supplier" exists iff that set has a second member). The
+    # surviving rows and their multiplicities are identical to the
+    # semi/anti-join result, so numwait is unchanged.
+    w = Window.partitionBy("l_orderkey")
+    is_late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     )
     waiting = (
-        late.join(
-            l2,
-            (F.col("l_orderkey") == F.col("k2"))
-            & (F.col("l_suppkey") != F.col("s2")),
-            "left_semi",
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("is_late", is_late)
+        .withColumn("n_supps", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supps",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
         )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("k3"))
-            & (F.col("l_suppkey") != F.col("s3")),
-            "left_anti",
+        .where(
+            F.col("is_late")
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_late_supps") == 1)
         )
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
