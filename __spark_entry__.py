@@ -238,8 +238,14 @@ def _pipeline_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = interleaved_docs(spark, sf_dir)
     media = fixture_media(spark)
+    # chunk store on tmpfs when available (round-7): the drive writes
+    # and re-reads two small parquet chunk datasets plus commit records;
+    # this sandbox's disk stalls under small-file fsync traffic (same
+    # rationale as the streaming drives' checkpoint location). The
+    # ~100 KB output stays behind for the returned DataFrame to read.
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     ck = CheckpointedExtract(
-        tempfile.mkdtemp(prefix="trs_ckpt_"), n_chunks=2
+        tempfile.mkdtemp(prefix="trs_ckpt_", dir=base), n_chunks=2
     )
     try:
         ck.run(spark, docs, media, _weights(), fail_after=1)
