@@ -174,6 +174,33 @@ def cmd_pagerank():
     spark.stop()
 
 
+def cmd_suite(names=None, repeats=2):
+    import json as _json
+
+    import __spark_entry__ as E
+
+    spark = _spark("bx_suite")
+    _warm(spark)
+    qs = E.queries()
+    from bench import BENCH_QUERIES
+
+    todo = names or [n for n in BENCH_QUERIES if n in qs]
+    out = {}
+    for name in todo:
+        times = []
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name](spark, SF).count()
+            times.append(round(time.time() - t0, 3))
+        out[name] = min(times)
+        print(f"{name:34s} {min(times):7.3f}  {times}", flush=True)
+    print(_json.dumps(out))
+    with open("/tmp/bx_suite_latest.json", "w") as f:
+        _json.dump(out, f)
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1]
     if cmd == "q":
@@ -187,3 +214,5 @@ if __name__ == "__main__":
         cmd_bpe()
     elif cmd == "pagerank":
         cmd_pagerank()
+    elif cmd == "suite":
+        cmd_suite(sys.argv[2].split(",") if len(sys.argv) > 2 else None)
