@@ -365,7 +365,15 @@ def test_new_queries_no_cartesian_no_row_udf(spark):
             # sim_bruteforce_topk — the candidate side never shuffles
             assert "BroadcastNestedLoopJoin" in p, (name, p[:1200])
         if name == "rel_q21_waiting_supplier":
-            assert "LeftSemi" in p and "LeftAnti" in p, (name, p[:1500])
+            # round-7 shape: the EXISTS/NOT-EXISTS semi/anti self-join
+            # legs collapsed into one per-order window over the
+            # li⋈orders join (distinct-supplier set sizes); the window
+            # must reuse the join's l_orderkey partitioning, so no
+            # self-join of the line table remains
+            assert "LeftSemi" not in p and "LeftAnti" not in p, (
+                name, p[:1500],
+            )
+            assert "Window" in p, (name, p[:1500])
 
 
 @pytest.mark.spark
