@@ -428,9 +428,19 @@ def _ephemeral_checkpoint_dir(name: str) -> str:
     return os.path.join(base, name)
 
 
-def _drive_two_batch_stream(spark, builder, src, schema, mode: str):
+def _drive_two_batch_stream(spark, builder, src, schema, mode: str,
+                            state_partitions: int | None = None):
     """Run ``builder(stream_df)`` over the staged two-file source to
-    completion; returns the memory-sink table as a DataFrame."""
+    completion; returns the memory-sink table as a DataFrame.
+
+    ``state_partitions`` defaults to 8 (fixture-sized state for the
+    JVM stateful operators, whose per-batch cost is dominated by
+    state-store load/commit per partition). The applyInPandasWithState
+    drives pass the cluster width instead: their per-batch cost is the
+    per-GROUP Python protocol (measured ~5-15 ms/group — state ser/de +
+    one pandas frame per group), which is serial within a partition, so
+    with thousands of keys the fan-out is what parallelizes it
+    (user_totals drive 3.6 → 2.9 s at 32 partitions, sf0.1)."""
     import shutil
     import uuid
 
@@ -440,9 +450,9 @@ def _drive_two_batch_stream(spark, builder, src, schema, mode: str):
     prev_nodata = spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled"
     )
-    # fixture-sized state: 8 partitions keep two micro-batches from
-    # being pure task scheduling (production sizes to key cardinality)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(state_partitions or 8)
+    )
     # Skip the trailing no-data micro-batch (round-7): it exists to run
     # event-time timeouts and watermark-driven final emissions, and
     # every operator driven through this helper emits ONLY in data
@@ -566,6 +576,7 @@ def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _drive_two_batch_stream(
         spark, stream_dedup_exact, src,
         "doc_id bigint, text string", "append",
+        state_partitions=spark.sparkContext.defaultParallelism,
     )
     return out.orderBy("fingerprint")
 
@@ -607,7 +618,8 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = _stage_two_batches(ev, ["ts", "event_id"])
     out = _drive_two_batch_stream(
-        spark, running_user_totals, src, _EVENTS_SCHEMA, "update"
+        spark, running_user_totals, src, _EVENTS_SCHEMA, "update",
+        state_partitions=spark.sparkContext.defaultParallelism,
     )
     return (
         out.groupBy("user_id")
